@@ -1,0 +1,144 @@
+"""Unified typed configuration.
+
+The reference scattered knobs across three mechanisms (argparse, a stubbed
+GlobalConfig singleton, and ~12 env vars — see reference model/config.py:8-71 and
+SURVEY.md §5).  Here everything lives in explicit frozen dataclasses that are
+hashable, so they can be passed as static args to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ReKVConfig:
+    """Streaming retrieval KV-cache hyperparameters.
+
+    Mirrors the per-backbone dict passed to patch_hf in the reference
+    (model/llava_onevision_rekv.py:166-176), plus static capacities required
+    by the TPU's static-shape compilation model.
+    """
+
+    n_init: int = 14              # init-prompt tokens kept resident forever
+    n_local: int = 15000          # sliding local attention window
+    block_size: int = 60          # tokens per global KV block (== pruned tokens/frame)
+    exc_block_size: int = 60      # encode chunk granularity (== block_size by default)
+    topk: int = 64                # retrieved blocks per question
+    chunk_size: int = 1           # retrieval scoring chunk grouping
+    max_blocks: int = 1024        # static capacity of the HBM block store (frames)
+    max_new_tokens: int = 128     # decode budget per question
+    max_prompt_tokens: int = 512  # static prompt-prefill capacity for QA
+
+    def __post_init__(self):
+        assert self.exc_block_size <= self.n_local
+        assert self.topk % self.chunk_size == 0
+
+    @property
+    def local_cap(self) -> int:
+        """Ring-buffer capacity for the local window (static)."""
+        return _round_up(self.n_local + max(self.exc_block_size, self.n_init), 128)
+
+    @property
+    def retrieve_len(self) -> int:
+        """Length of the retrieval buffer: init tokens + topk blocks."""
+        return self.n_init + self.topk * self.block_size
+
+    @property
+    def decode_cap(self) -> int:
+        """Static capacity of the per-question decode KV cache."""
+        return _round_up(
+            self.retrieve_len + self.max_prompt_tokens + self.max_new_tokens, 128
+        )
+
+    @property
+    def rope_max_pos(self) -> int:
+        """Largest relative position any attention call can see."""
+        return max(self.n_local + self.exc_block_size, self.decode_cap) + 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CacherConfig:
+    """STC-Cacher (ViT selective recompute) knobs.
+
+    Reference: model/config.py CacheConfig + model/custom_siglip.py defaults.
+    """
+
+    strategy: str = "cacher"          # 'none' | 'cacher'
+    update_token_ratio: float = 0.25  # fraction of ViT tokens recomputed on cached chunks
+    cache_interval: int = 2           # full recompute every Nth chunk
+
+    @property
+    def enabled(self) -> bool:
+        return self.strategy == "cacher"
+
+
+@dataclasses.dataclass(frozen=True)
+class PrunerConfig:
+    """STC-Pruner (post-projector token pruning) knobs.
+
+    Reference: model/config.py ModelConfig + model/prune.py MODEL_SPECS.
+    """
+
+    strategy: str = "stc"        # 'stc' | 'none'
+    token_per_frame: int = 60    # tokens kept per frame after pruning
+    channel_keep_ratio: float = 0.5
+    model_spec: str = "llava_ov"  # selects tokens-per-frame-in + index layout
+
+    @property
+    def enabled(self) -> bool:
+        return self.strategy == "stc"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Per-backbone visual token layout (reference model/prune.py:15-19)."""
+
+    tokens_per_frame: int
+    index_mapper_type: str  # 'flat' | 'grid_13x13'
+
+
+MODEL_SPECS = {
+    "llava_ov": ModelSpec(tokens_per_frame=196, index_mapper_type="flat"),
+    "llava_vid": ModelSpec(tokens_per_frame=169, index_mapper_type="grid_13x13"),
+    "clip": ModelSpec(tokens_per_frame=144, index_mapper_type="flat"),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SessionConfig:
+    """Top-level streaming-session configuration."""
+
+    rekv: ReKVConfig = dataclasses.field(default_factory=ReKVConfig)
+    cacher: CacherConfig = dataclasses.field(default_factory=CacherConfig)
+    pruner: PrunerConfig = dataclasses.field(default_factory=PrunerConfig)
+    encode_chunk_frames: int = 1  # frames per encode chunk
+
+    @classmethod
+    def from_env(cls) -> "SessionConfig":
+        """Single env-var entry point (replaces the reference's scattered getenv)."""
+        cacher = CacherConfig(
+            strategy=os.getenv("STC_CACHE_STRATEGY", "cacher"),
+            update_token_ratio=float(os.getenv("STC_UPDATE_TOKEN_RATIO", "0.25")),
+            cache_interval=int(os.getenv("STC_CACHE_INTERVAL", "2")),
+        )
+        pruner = PrunerConfig(
+            strategy=os.getenv("STC_PRUNE_STRATEGY", "stc"),
+            token_per_frame=int(os.getenv("STC_TOKEN_PER_FRAME", "60")),
+        )
+        tpf = pruner.token_per_frame if pruner.enabled else MODEL_SPECS[
+            pruner.model_spec
+        ].tokens_per_frame
+        rekv = ReKVConfig(
+            n_local=int(os.getenv("STC_N_LOCAL", "15000")),
+            topk=int(os.getenv("STC_TOPK", "64")),
+            block_size=tpf,
+            exc_block_size=tpf,
+        )
+        return cls(rekv=rekv, cacher=cacher, pruner=pruner)

@@ -1,0 +1,71 @@
+"""Fixed-capacity streaming KV-cache state (pytrees).
+
+TPU-native re-architecture of the reference ContextManager's mutable state
+(model/attention/kv_cache_manager.py:441-658).  Every dynamic structure in the
+reference becomes a static-shape array + integer cursor:
+
+  reference                          here
+  ---------------------------------  ------------------------------------------
+  local_k/v (growing concat + trim)  ring buffer (B, Hkv, local_cap, D) + pos map
+  init_k/v (lazy fill from stream)   eager capture of first n_init tokens
+  global_blocks (CPU MemoryUnits)    HBM block store (B, max_blocks, Hkv, S, D)
+  block_k (VectorTensor, doubling)   rep-key array (B, max_blocks, Hkv, D) + count
+  cached_blocks LRU dict + CudaCache not needed: blocks live in HBM, gathered by
+                                     index; host offload is a later tier
+  global_remainder                   not needed: blocks are carved eagerly (the
+                                     deferred carving in the reference is
+                                     retrieval-equivalent; attention-phase
+                                     gating is preserved via the init_active
+                                     condition in engine.append_stream)
+
+Keys are stored UNROTATED everywhere (as in the reference): RoPE is applied at
+attention time with bounded window-relative positions, and retrieved blocks get
+fresh contiguous positions — the position-agnostic retrieval trick
+(reference rope.py:89-104, kv_cache_manager.py:637-639).
+
+All leaves carry a leading batch dim B (stream batch); model code stacks one
+StreamKV per decoder layer along a leading L axis and drives them with
+lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+
+class StreamKV(NamedTuple):
+    """Per-layer streaming KV state for one batch of streams."""
+
+    # ring-buffered local window (unrotated K / raw V)
+    local_k: jax.Array    # (B, Hkv, local_cap, D)
+    local_v: jax.Array    # (B, Hkv, local_cap, D)
+    local_pos: jax.Array  # (B, local_cap) int32, global position of slot, -1 empty
+
+    # init tokens (always-resident, unrotated)
+    init_k: jax.Array     # (B, Hkv, n_init, D)
+    init_v: jax.Array     # (B, Hkv, n_init, D)
+
+    # global block store (one block per pruned frame)
+    block_k: jax.Array    # (B, max_blocks, Hkv, S, D) unrotated
+    block_v: jax.Array    # (B, max_blocks, Hkv, S, D)
+    block_rep: jax.Array  # (B, max_blocks, Hkv, D) mean key per block
+    num_blocks: jax.Array  # (B,) int32
+
+    length: jax.Array     # (B,) int32 — total stream tokens appended
+
+
+class DecodeKV(NamedTuple):
+    """Per-layer question-answering KV cache (retrieved prefix + prompt + decode).
+
+    Unlike StreamKV, keys here ARE stored rotated, at the RoPE angle of their
+    slot index: slots are the contiguous fake positions that the reference
+    assigns to [retrieved blocks | prompt | generated tokens]
+    (model/attention/rekv_attention.py:388-426), so relative distances are
+    consistent across decode steps and nothing needs re-rotation.
+    """
+
+    k: jax.Array       # (B, Hkv, decode_cap, D) rotated at slot position
+    v: jax.Array       # (B, Hkv, decode_cap, D)
+    cursor: jax.Array  # (B,) int32 — number of valid tokens

@@ -1,0 +1,154 @@
+"""Behavioural equivalence of the static-shape streaming KV engine vs the
+numpy oracle that literally implements the reference semantics
+(deferred init fill, deferred block carving, dynamic top-k filtering)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stc_tpu.config import ReKVConfig
+from stc_tpu.kvcache.engine import (
+    append_stream, decode_attend, decode_write, init_decode_kv,
+    init_stream_kv, retrieve_blocks,
+)
+from oracle import OracleReKV
+
+HQ, HKV, D = 4, 2, 16
+
+
+def make_cfg(chunk_size=1):
+    # n_local must exceed n_init + topk*block_size + question length, like the
+    # real configs (llava_ov: 15000 > 14 + 64*60); init-fill triggers once the
+    # stream passes n_local=64 tokens, i.e. at video append #8.
+    return ReKVConfig(
+        n_init=4, n_local=64, block_size=8, exc_block_size=8,
+        topk=4, chunk_size=chunk_size, max_blocks=64,
+        max_prompt_tokens=16, max_new_tokens=8,
+    )
+
+
+def rand_qkv(rng, T):
+    q = rng.normal(size=(1, HQ, T, D)).astype(np.float32)
+    k = rng.normal(size=(1, HKV, T, D)).astype(np.float32)
+    v = rng.normal(size=(1, HKV, T, D)).astype(np.float32)
+    return q, k, v
+
+
+def run_stream(cfg, n_video_appends, seed=0):
+    """Drive engine and oracle with identical inputs; return both + per-step
+    output pairs."""
+    rng = np.random.default_rng(seed)
+    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    oracle = OracleReKV(cfg.n_init, cfg.n_local, cfg.block_size, cfg.topk,
+                        cfg.chunk_size)
+    outs = []
+
+    q, k, v = rand_qkv(rng, cfg.n_init)
+    o_eng, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k),
+                              jnp.asarray(v), cfg, is_init=True)
+    o_ref = oracle.append(q[0], k[0], v[0])
+    outs.append((np.asarray(o_eng)[0], o_ref))
+
+    for _ in range(n_video_appends):
+        q, k, v = rand_qkv(rng, cfg.block_size)
+        o_eng, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), cfg, is_init=False)
+        o_ref = oracle.append(q[0], k[0], v[0])
+        outs.append((np.asarray(o_eng)[0], o_ref))
+
+    return kv, oracle, outs, rng
+
+
+@pytest.mark.parametrize("n_appends", [2, 8, 12])
+def test_append_outputs_match_oracle(n_appends):
+    cfg = make_cfg()
+    _, _, outs, _ = run_stream(cfg, n_appends)
+    for i, (eng, ref) in enumerate(outs):
+        np.testing.assert_allclose(eng, ref, rtol=3e-4, atol=3e-4,
+                                   err_msg=f"append step {i}")
+
+
+@pytest.mark.parametrize("n_appends,chunk_size", [
+    (2, 1),    # pre-trigger, fewer blocks than topk -> all blocks
+    (8, 1),    # just past the init-fill trigger
+    (12, 1),   # scored top-k path
+    (12, 2),   # chunk-grouped scoring
+    (11, 2),   # chunk grouping with remainder chunk (11 % 2 == 1)
+])
+def test_retrieval_indices_match_oracle(n_appends, chunk_size):
+    cfg = make_cfg(chunk_size)
+    kv, oracle, _, rng = run_stream(cfg, n_appends)
+    Lq = 6
+    q = rng.normal(size=(1, HQ, Lq, D)).astype(np.float32)
+
+    ret_k, ret_v, tok_valid, valid_len = retrieve_blocks(kv, jnp.asarray(q),
+                                                         cfg)
+    want_idx = oracle.retrieve_indices(q[0])
+
+    n_valid_blocks = (int(valid_len[0]) - cfg.n_init) // cfg.block_size
+    assert n_valid_blocks == len(want_idx)
+
+    # engine buffer on its valid prefix must equal the oracle's packed buffer
+    want_k, want_v = oracle.retrieved_buffer(want_idx)
+    vl = int(valid_len[0])
+    np.testing.assert_allclose(np.asarray(ret_k)[0, :, :vl], want_k,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ret_v)[0, :, :vl], want_v,
+                               rtol=1e-6, atol=1e-6)
+    assert np.asarray(tok_valid)[0, :vl].all()
+    assert not np.asarray(tok_valid)[0, vl:].any()
+
+
+@pytest.mark.parametrize("n_appends", [2, 12])
+def test_qa_attention_matches_oracle(n_appends):
+    cfg = make_cfg()
+    kv, oracle, _, rng = run_stream(cfg, n_appends)
+    Lq = 6
+    q = rng.normal(size=(1, HQ, Lq, D)).astype(np.float32)
+    qk = rng.normal(size=(1, HKV, Lq, D)).astype(np.float32)
+    qv = rng.normal(size=(1, HKV, Lq, D)).astype(np.float32)
+
+    ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q), cfg)
+    dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv = decode_write(dkv, jnp.asarray(qk), jnp.asarray(qv), Lq)
+    q_slots = valid_len[:, None] + jnp.arange(Lq)[None, :]
+    got = np.asarray(decode_attend(jnp.asarray(q), q_slots, dkv, cfg))[0]
+
+    idx = oracle.retrieve_indices(q[0])
+    rk, rv = oracle.retrieved_buffer(idx)
+    want = oracle.qa_attention(q[0], rk, rv, qk[0], qv[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_multi_turn_decode_positions_consistent():
+    """Decoding token-by-token must equal one-shot prefill attention."""
+    cfg = make_cfg()
+    kv, oracle, _, rng = run_stream(cfg, 12)
+    Lq = 5
+    q = rng.normal(size=(1, HQ, Lq, D)).astype(np.float32)
+    qk = rng.normal(size=(1, HKV, Lq, D)).astype(np.float32)
+    qv = rng.normal(size=(1, HKV, Lq, D)).astype(np.float32)
+
+    ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q), cfg)
+
+    # one-shot
+    dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv = decode_write(dkv, jnp.asarray(qk), jnp.asarray(qv), Lq)
+    q_slots = valid_len[:, None] + jnp.arange(Lq)[None, :]
+    oneshot = np.asarray(decode_attend(jnp.asarray(q), q_slots, dkv, cfg))[0]
+
+    # token-by-token
+    dkv2 = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    dkv2 = decode_write(dkv2, ret_k, ret_v, valid_len, at_start=True)
+    steps = []
+    for t in range(Lq):
+        dkv2 = decode_write(dkv2, jnp.asarray(qk[:, :, t:t + 1]),
+                            jnp.asarray(qv[:, :, t:t + 1]), 1)
+        slot = valid_len[:, None] + t
+        o = decode_attend(jnp.asarray(q[:, :, t:t + 1]), slot, dkv2, cfg)
+        steps.append(np.asarray(o)[0, :, 0])
+    stepped = np.stack(steps, axis=1)
+    np.testing.assert_allclose(stepped, oneshot, rtol=2e-4, atol=2e-4)
