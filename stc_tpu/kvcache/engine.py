@@ -232,11 +232,13 @@ def _two_q_multi_stage(q_a, q_b, k_a, v_a, mask_a, k_b, v_b, mask_b):
 # Retrieval (question time)
 # ---------------------------------------------------------------------------
 
-def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig):
+def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
+                    q_valid: jax.Array | None = None):
     """Query-conditioned top-k block retrieval.
 
     q: (B, Hq, Lq, D) UNROTATED question queries (the reference scores with
-    raw global_q, rekv_attention.py:330-331).
+    raw global_q, rekv_attention.py:330-331).  q_valid: optional (B, Lq) bool
+    marking real question tokens (padding excluded from the mean query).
 
     Implements _calc_block_topk (kv_cache_manager.py:1414-1540) with static
     shapes: mean query vector · per-block mean keys (GQA-grouped, equal to the
@@ -259,7 +261,12 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig):
     assert Nb % cs == 0
 
     # mean question query, grouped to kv heads (== reference's expanded dot)
-    q_mean = jnp.mean(q.astype(jnp.float32), axis=2)          # (B, Hq, D)
+    if q_valid is None:
+        q_mean = jnp.mean(q.astype(jnp.float32), axis=2)      # (B, Hq, D)
+    else:
+        w = q_valid.astype(jnp.float32)[:, None, :, None]     # (B, 1, Lq, 1)
+        q_mean = (q.astype(jnp.float32) * w).sum(axis=2) / jnp.maximum(
+            w.sum(axis=2), 1.0)
     q_grp = q_mean.reshape(B, Hkv, G, D).sum(axis=2)          # (B, Hkv, D)
     logits = jnp.einsum("bnhd,bhd->bn", kv.block_rep.astype(jnp.float32),
                         q_grp)                                # (B, Nb)

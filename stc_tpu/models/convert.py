@@ -1,0 +1,88 @@
+"""HF -> JAX weight converters.
+
+The reference loads HF checkpoints directly (from_pretrained); we convert the
+torch state dicts into the stacked-pytree layout that models/qwen2.py &
+models/siglip.py consume.  Torch is CPU-only in this environment and used
+solely as a checkpoint reader.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from stc_tpu.models.qwen2 import Qwen2Config
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / np array -> float32 numpy."""
+    if hasattr(t, "detach"):
+        t = t.detach().to("cpu").float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def convert_qwen2(state: Dict[str, Any], cfg: Qwen2Config,
+                  prefix: str = "model.", dtype=jnp.bfloat16):
+    """Convert a HF Qwen2ForCausalLM state dict to the stacked pytree.
+
+    state: mapping name -> tensor (torch or numpy).
+    prefix: the HF submodule prefix ('model.' for a bare Qwen2ForCausalLM,
+    'language_model.model.' inside LLaVA-OneVision).
+    """
+    L = cfg.num_layers
+
+    def get(name):
+        return _np(state[name])
+
+    def stack(fmt, transpose=False):
+        mats = [get(fmt.format(i=i)) for i in range(L)]
+        out = np.stack(mats)
+        if transpose:
+            out = out.transpose(0, 2, 1)
+        return jnp.asarray(out, dtype)
+
+    lp = {
+        "ln1": stack(prefix + "layers.{i}.input_layernorm.weight"),
+        "ln2": stack(prefix + "layers.{i}.post_attention_layernorm.weight"),
+        "wq": stack(prefix + "layers.{i}.self_attn.q_proj.weight", True),
+        "bq": stack(prefix + "layers.{i}.self_attn.q_proj.bias"),
+        "wk": stack(prefix + "layers.{i}.self_attn.k_proj.weight", True),
+        "bk": stack(prefix + "layers.{i}.self_attn.k_proj.bias"),
+        "wv": stack(prefix + "layers.{i}.self_attn.v_proj.weight", True),
+        "bv": stack(prefix + "layers.{i}.self_attn.v_proj.bias"),
+        "wo": stack(prefix + "layers.{i}.self_attn.o_proj.weight", True),
+        "w_gate": stack(prefix + "layers.{i}.mlp.gate_proj.weight", True),
+        "w_up": stack(prefix + "layers.{i}.mlp.up_proj.weight", True),
+        "w_down": stack(prefix + "layers.{i}.mlp.down_proj.weight", True),
+    }
+    embed = jnp.asarray(get(prefix + "embed_tokens.weight"), dtype)
+    if cfg.tie_embeddings or (prefix[:-len("model.")] + "lm_head.weight") not in state:
+        lm_head = embed.T
+    else:
+        lm_head = jnp.asarray(
+            get(prefix[:-len("model.")] + "lm_head.weight").T, dtype)
+    return {
+        "embed": embed,
+        "layers": lp,
+        "norm_f": jnp.asarray(get(prefix + "norm.weight"), dtype),
+        "lm_head": lm_head,
+    }
+
+
+def qwen2_config_from_hf(hf_config) -> Qwen2Config:
+    head_dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads)
+    return Qwen2Config(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=hf_config.num_key_value_heads,
+        head_dim=head_dim,
+        intermediate_size=hf_config.intermediate_size,
+        rope_base=hf_config.rope_theta,
+        rms_eps=hf_config.rms_norm_eps,
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+    )

@@ -1,0 +1,241 @@
+"""Qwen2 decoder with streaming ReKV attention — functional JAX implementation.
+
+TPU-native replacement for the reference's monkey-patched HF model
+(model/patch.py + model/attention/rekv_attention.py): instead of rebinding
+forwards at runtime, the streaming attention is a first-class layer and the
+whole decoder is a `lax.scan` over stacked per-layer parameters and per-layer
+StreamKV/DecodeKV states — one compiled layer body regardless of depth.
+
+Three jit-able entry points mirror the reference call graph:
+  encode_step       — streaming prefill of one exc block (ContextManager.append path)
+  qa_retrieve_step  — question forward with per-layer top-k retrieval
+                      (rekv_attention.py retrieval branch; question KV are NOT
+                      kept, matching updata_kv_cache=False semantics)
+  decode_step       — prompt prefill / token decode over the DecodeKV cache
+                      (rekv_attention.py sliding-window branch)
+
+Weights are plain pytrees (dict of arrays, layers stacked on axis 0) so the
+HF->JAX converter in convert.py stays trivial and shardings can be attached
+with jax.sharding.NamedSharding at load time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stc_tpu.config import ReKVConfig
+from stc_tpu.kvcache.engine import (
+    append_stream, decode_attend, decode_write, init_decode_kv,
+    init_stream_kv, retrieve_blocks,
+)
+from stc_tpu.kvcache.state import DecodeKV, StreamKV
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    intermediate_size: int = 18944
+    rope_base: float = 1000000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+
+    @classmethod
+    def tiny(cls, vocab=256):
+        """Small config for tests."""
+        return cls(vocab_size=vocab, hidden_size=64, num_layers=2,
+                   num_heads=4, num_kv_heads=2, head_dim=16,
+                   intermediate_size=128, rope_base=10000.0,
+                   tie_embeddings=False)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: Qwen2Config, key, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random init (tests / benches). Real weights come from convert.py."""
+    E, L = cfg.hidden_size, cfg.num_layers
+    Hq, Hkv, D, F = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size
+    ks = jax.random.split(key, 12)
+    s = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    params = {
+        "embed": rnd(ks[0], (cfg.vocab_size, E)),
+        "layers": {
+            "ln1": jnp.ones((L, E), dtype),
+            "ln2": jnp.ones((L, E), dtype),
+            "wq": rnd(ks[1], (L, E, Hq * D)),
+            "bq": jnp.zeros((L, Hq * D), dtype),
+            "wk": rnd(ks[2], (L, E, Hkv * D)),
+            "bk": jnp.zeros((L, Hkv * D), dtype),
+            "wv": rnd(ks[3], (L, E, Hkv * D)),
+            "bv": jnp.zeros((L, Hkv * D), dtype),
+            "wo": rnd(ks[4], (L, Hq * D, E)),
+            "w_gate": rnd(ks[5], (L, E, F)),
+            "w_up": rnd(ks[6], (L, E, F)),
+            "w_down": rnd(ks[7], (L, F, E)),
+        },
+        "norm_f": jnp.ones((E,), dtype),
+        "lm_head": rnd(ks[8], (E, cfg.vocab_size)),
+    }
+    return params
+
+
+def init_stream_state(cfg: Qwen2Config, rekv: ReKVConfig, batch: int,
+                      dtype=jnp.bfloat16) -> StreamKV:
+    """Per-layer StreamKV stacked on a leading layer axis."""
+    one = init_stream_kv(rekv, batch, cfg.num_kv_heads, cfg.head_dim, dtype)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.num_layers,) + x.shape).copy(), one)
+
+
+def init_decode_state(cfg: Qwen2Config, rekv: ReKVConfig, batch: int,
+                      dtype=jnp.bfloat16) -> DecodeKV:
+    one = init_decode_kv(rekv, batch, cfg.num_kv_heads, cfg.head_dim, dtype)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.num_layers,) + x.shape).copy(), one)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _qkv(lp, h, cfg: Qwen2Config):
+    B, T, E = h.shape
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (h @ lp["wq"] + lp["bq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+    k = (h @ lp["wk"] + lp["bk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    v = (h @ lp["wv"] + lp["bv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _proj_out(lp, o, cfg: Qwen2Config):
+    B, Hq, T, D = o.shape
+    return o.transpose(0, 2, 1, 3).reshape(B, T, Hq * D) @ lp["wo"]
+
+
+def _mlp(lp, h, cfg: Qwen2Config):
+    return (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming encode (video / init-prompt prefill)
+# ---------------------------------------------------------------------------
+
+def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                kvs: StreamKV, embeds: jax.Array, *, is_init: bool
+                ) -> Tuple[jax.Array, StreamKV]:
+    """One streaming append of T tokens through all layers.
+
+    embeds: (B, T, E).  Returns (final hidden states, new stacked StreamKV).
+    Mirrors Abstract_ReKV._encode_video_chunk's LM forward
+    (abstract_rekv.py:38-43) with past_key_values == the streaming cache.
+    """
+
+    def body(h, xs):
+        lp, kv = xs
+        hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(lp, hn, cfg)
+        o, kv = append_stream(kv, q, k, v, rekv, is_init=is_init,
+                              rope_base=cfg.rope_base)
+        h = h + _proj_out(lp, o, cfg)
+        hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + _mlp(lp, hn, cfg)
+        return h, kv
+
+    h, kvs = jax.lax.scan(body, embeds, (params["layers"], kvs))
+    return h, kvs
+
+
+# ---------------------------------------------------------------------------
+# Question answering: retrieval forward + prompt prefill + decode
+# ---------------------------------------------------------------------------
+
+def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                     kvs: StreamKV, dkvs: DecodeKV, embeds: jax.Array,
+                     n_tokens: jax.Array | None = None) -> DecodeKV:
+    """Question forward with per-layer retrieval; installs the retrieved
+    prefix into the decode cache.
+
+    The question's own KV participate in this forward's attention but are NOT
+    kept in the cache, matching the reference's updata_kv_cache=False path
+    (rekv_attention.py:363-386).  n_tokens: optional (B,) true question
+    lengths when `embeds` is right-padded.
+    """
+    B, T, E = embeds.shape
+    q_valid = None
+    if n_tokens is not None:
+        n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
+        q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
+
+    def body(h, xs):
+        lp, kv, dkv = xs
+        hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(lp, hn, cfg)
+        ret_k, ret_v, _, valid_len = retrieve_blocks(kv, q, rekv, q_valid)
+        dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                           rope_base=cfg.rope_base)
+        # write question KV for this forward only; cursor reset afterwards
+        dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)
+        q_slots = valid_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        o = decode_attend(q, q_slots, dkv_q, rekv, rope_base=cfg.rope_base)
+        dkv = DecodeKV(k=dkv_q.k, v=dkv_q.v, cursor=valid_len)
+        h = h + _proj_out(lp, o, cfg)
+        hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + _mlp(lp, hn, cfg)
+        return h, dkv
+
+    _, dkvs = jax.lax.scan(body, embeds, (params["layers"], kvs, dkvs))
+    return dkvs
+
+
+def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                dkvs: DecodeKV, embeds: jax.Array, n_tokens: jax.Array
+                ) -> Tuple[jax.Array, DecodeKV]:
+    """Prompt prefill (T tokens, n_tokens (B,) valid) or 1-token decode.
+
+    Returns (logits (B, T, V), new decode cache).  Sliding-window attention
+    over the decode cache, reference rekv_attention.py:369-426.
+    """
+    B, T, E = embeds.shape
+    n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
+
+    def body(h, xs):
+        lp, dkv = xs
+        hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(lp, hn, cfg)
+        start = dkv.cursor
+        dkv = decode_write(dkv, k, v, n_tokens, rope_base=cfg.rope_base)
+        q_slots = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        o = decode_attend(q, q_slots, dkv, rekv, rope_base=cfg.rope_base)
+        h = h + _proj_out(lp, o, cfg)
+        hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + _mlp(lp, hn, cfg)
+        return h, dkv
+
+    h, dkvs = jax.lax.scan(body, embeds, (params["layers"], dkvs))
+    h = rms_norm(h, params["norm_f"], cfg.rms_eps)
+    logits = h @ params["lm_head"]
+    return logits, dkvs
+
+
+def embed_tokens(params, ids: jax.Array) -> jax.Array:
+    return params["embed"][ids]

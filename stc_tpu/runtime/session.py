@@ -1,0 +1,177 @@
+"""Streaming session runtime — the 4-method plug-and-play API.
+
+TPU-native equivalent of Abstract_ReKV (reference model/abstract_rekv.py:7-87):
+
+    clear_cache() / encode_init_prompt(ids) / encode_video(frames or feats)
+    / question_answering(...)
+
+Differences by design:
+- All device work happens in a handful of jitted step functions with donated
+  state buffers (no per-token python in the hot path beyond the decode loop).
+- Video chunks enter as *pruned frame features* (the vision tower + pruner
+  produce exactly block_size tokens per frame); a frame_encoder callable can
+  be attached to go straight from pixel frames.
+- Prompt/question lengths are bucketed to powers of two to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stc_tpu.config import SessionConfig
+from stc_tpu.models import qwen2 as qw
+from stc_tpu.models.qwen2 import Qwen2Config
+
+
+def _bucket(n: int, cap: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+class StreamingSession:
+    def __init__(
+        self,
+        params,
+        model_cfg: Qwen2Config,
+        session_cfg: SessionConfig,
+        batch: int = 1,
+        state_dtype=jnp.bfloat16,
+        frame_encoder: Optional[Callable] = None,
+    ):
+        self.params = params
+        self.mcfg = model_cfg
+        self.scfg = session_cfg
+        self.rekv = session_cfg.rekv
+        self.batch = batch
+        self.state_dtype = state_dtype
+        self.frame_encoder = frame_encoder
+
+        assert self.rekv.decode_cap <= self.rekv.n_local + self.rekv.n_init, (
+            "QA attention assumes the decode cache never outgrows the local "
+            "window (true for all reference configs); got "
+            f"decode_cap={self.rekv.decode_cap} n_local={self.rekv.n_local}")
+
+        mc, rc = model_cfg, self.rekv
+        self._encode_init = jax.jit(functools.partial(
+            qw.encode_step, cfg=mc, rekv=rc, is_init=True),
+            donate_argnames=("kvs",))
+        self._encode_block = jax.jit(functools.partial(
+            qw.encode_step, cfg=mc, rekv=rc, is_init=False),
+            donate_argnames=("kvs",))
+        self._qa_retrieve = jax.jit(functools.partial(
+            qw.qa_retrieve_step, cfg=mc, rekv=rc), donate_argnames=("dkvs",))
+        self._decode = jax.jit(functools.partial(
+            qw.decode_step, cfg=mc, rekv=rc), donate_argnames=("dkvs",))
+        self._embed = jax.jit(qw.embed_tokens)
+
+        self.kvs = None
+        self.clear_cache()
+
+    # ------------------------------------------------------------------ #
+    def clear_cache(self):
+        self.kvs = qw.init_stream_state(self.mcfg, self.rekv, self.batch,
+                                        self.state_dtype)
+        self._pruner_state = None  # reset by the vision pipeline if attached
+        if self.frame_encoder is not None and hasattr(self.frame_encoder,
+                                                      "reset"):
+            self.frame_encoder.reset()
+
+    def encode_init_prompt(self, init_prompt_ids: Sequence[int]):
+        ids = np.asarray(init_prompt_ids, dtype=np.int32).reshape(1, -1)
+        ids = np.broadcast_to(ids, (self.batch, ids.shape[1]))
+        assert ids.shape[1] == self.rekv.n_init, (
+            f"init prompt must be exactly n_init={self.rekv.n_init} tokens, "
+            f"got {ids.shape[1]} (set ReKVConfig.n_init from the tokenizer)")
+        embeds = self._embed(self.params, jnp.asarray(ids))
+        _, self.kvs = self._encode_init(self.params, kvs=self.kvs,
+                                        embeds=embeds)
+
+    def encode_video_features(self, feats):
+        """feats: (B, n_frames*block_size, E) pruned visual features."""
+        feats = jnp.asarray(feats, self.params["embed"].dtype)
+        B, T, E = feats.shape
+        S = self.rekv.block_size
+        assert T % S == 0, (T, S)
+        for i in range(T // S):
+            _, self.kvs = self._encode_block(
+                self.params, kvs=self.kvs, embeds=feats[:, i * S:(i + 1) * S])
+
+    def encode_video(self, frames):
+        """frames: (n_frames, H, W, 3) uint8 — requires a frame_encoder."""
+        assert self.frame_encoder is not None, "no frame_encoder attached"
+        feats = self.frame_encoder(frames)
+        self.encode_video_features(feats)
+
+    # ------------------------------------------------------------------ #
+    def question_answering(
+        self,
+        question_ids: Sequence[int],
+        prompt_ids: Sequence[int],
+        stop_token_ids: Sequence[int],
+        max_new_tokens: int = 128,
+    ) -> List[int]:
+        """Retrieve with `question_ids`, then greedy-decode from `prompt_ids`.
+
+        Replicates the reference QA loop (llava_onevision_rekv.py:71-152)
+        including the anti-EOS-at-step-0 top-2 fallback (:127-131).
+        """
+        rc = self.rekv
+        B = self.batch
+
+        # --- retrieval forward over the question ---
+        qlen = len(question_ids)
+        qb = _bucket(qlen, rc.max_prompt_tokens)
+        assert qlen <= qb
+        q_ids = np.zeros((B, qb), dtype=np.int32)
+        q_ids[:, :qlen] = np.asarray(question_ids, dtype=np.int32)
+        dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
+        dkvs = self._qa_retrieve(
+            self.params, kvs=self.kvs, dkvs=dkvs,
+            embeds=self._embed(self.params, jnp.asarray(q_ids)),
+            n_tokens=jnp.full((B,), qlen, jnp.int32))
+
+        # --- prompt prefill ---
+        plen = len(prompt_ids)
+        pb = _bucket(plen, rc.max_prompt_tokens)
+        assert plen <= pb, (plen, rc.max_prompt_tokens)
+        p_ids = np.zeros((B, pb), dtype=np.int32)
+        p_ids[:, :plen] = np.asarray(prompt_ids, dtype=np.int32)
+        logits, dkvs = self._decode(
+            self.params, dkvs=dkvs,
+            embeds=self._embed(self.params, jnp.asarray(p_ids)),
+            n_tokens=jnp.full((B,), plen, jnp.int32))
+        last = np.asarray(logits[:, plen - 1])  # (B, V)
+
+        # --- greedy decode with anti-EOS-first-token rule ---
+        stop = set(int(t) for t in stop_token_ids)
+        out_tokens: List[int] = []
+        for i in range(max_new_tokens):
+            top2 = np.argsort(-last[0])[:2]
+            token = int(top2[0])
+            if i == 0 and token in stop:
+                token = int(top2[1]) if len(top2) > 1 else 1
+            out_tokens.append(token)
+            if token in stop:
+                break
+            step_ids = np.full((B, 1), token, dtype=np.int32)
+            logits, dkvs = self._decode(
+                self.params, dkvs=dkvs,
+                embeds=self._embed(self.params, jnp.asarray(step_ids)),
+                n_tokens=jnp.ones((B,), jnp.int32))
+            last = np.asarray(logits[:, 0])
+        return out_tokens
+
+    # ------------------------------------------------------------------ #
+    def kv_memory_bytes(self) -> int:
+        """Bytes held by the global block store (reference calc_memory_usage)."""
+        n = int(np.asarray(self.kvs.num_blocks).max())
+        blk = self.kvs.block_k
+        per_block = (np.prod(blk.shape[2:]) * blk.dtype.itemsize) * 2
+        return int(blk.shape[0] * n * per_block)

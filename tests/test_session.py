@@ -1,0 +1,71 @@
+"""End-to-end streaming session on a tiny random model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stc_tpu.config import ReKVConfig, SessionConfig, CacherConfig, PrunerConfig
+from stc_tpu.models import qwen2 as qw
+from stc_tpu.runtime.session import StreamingSession
+
+
+def make_session(seed=0):
+    mcfg = qw.Qwen2Config.tiny()
+    rekv = ReKVConfig(n_init=6, n_local=512, block_size=8, exc_block_size=8,
+                      topk=4, chunk_size=1, max_blocks=64,
+                      max_prompt_tokens=64, max_new_tokens=16)
+    scfg = SessionConfig(rekv=rekv)
+    params = qw.init_params(mcfg, jax.random.key(seed))
+    return StreamingSession(params, mcfg, scfg, state_dtype=jnp.float32), mcfg
+
+
+def test_full_session_flow():
+    sess, mcfg = make_session()
+    rng = np.random.default_rng(0)
+
+    sess.encode_init_prompt(list(range(6)))
+    assert int(np.asarray(sess.kvs.length)[0, 0]) == 6
+
+    feats = rng.normal(size=(1, 10 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 10
+
+    out = sess.question_answering(
+        question_ids=[5, 6, 7], prompt_ids=[5, 6, 7, 8, 9],
+        stop_token_ids=[0], max_new_tokens=8)
+    assert 1 <= len(out) <= 8
+    # anti-EOS-at-step-0: first token is never a stop token
+    assert out[0] != 0
+
+    # deterministic given same state
+    out2 = sess.question_answering(
+        question_ids=[5, 6, 7], prompt_ids=[5, 6, 7, 8, 9],
+        stop_token_ids=[0], max_new_tokens=8)
+    assert out == out2
+
+
+def test_session_stream_continues_after_qa():
+    """QA must not disturb the streaming cache (ContextManager untouched)."""
+    sess, mcfg = make_session(1)
+    rng = np.random.default_rng(1)
+    sess.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 3 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    before = np.asarray(sess.kvs.length).copy()
+    sess.question_answering([1, 2], [1, 2, 3], [0], max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(sess.kvs.length), before)
+    # stream continues
+    sess.encode_video_features(
+        rng.normal(size=(1, 8, mcfg.hidden_size)).astype(np.float32))
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 4
+
+
+def test_clear_cache_resets():
+    sess, mcfg = make_session(2)
+    rng = np.random.default_rng(2)
+    sess.encode_init_prompt(list(range(6)))
+    sess.encode_video_features(
+        rng.normal(size=(1, 16, mcfg.hidden_size)).astype(np.float32))
+    sess.clear_cache()
+    assert int(np.asarray(sess.kvs.length).max()) == 0
+    assert int(np.asarray(sess.kvs.num_blocks).max()) == 0
