@@ -71,6 +71,61 @@ def convert_qwen2(state: Dict[str, Any], cfg: Qwen2Config,
     }
 
 
+def convert_siglip(state: Dict[str, Any], num_layers: int,
+                   prefix: str = "vision_tower.vision_model.",
+                   dtype=jnp.bfloat16):
+    """Convert an HF SiglipVisionModel state dict to the stacked pytree."""
+    def get(name):
+        return _np(state[prefix + name])
+
+    def stack(fmt, transpose=False):
+        mats = [get(fmt.format(i=i)) for i in range(num_layers)]
+        out = np.stack(mats)
+        if transpose:
+            out = out.transpose(0, 2, 1)
+        return jnp.asarray(out, dtype)
+
+    patch_w = get("embeddings.patch_embedding.weight")   # (C, 3, P, P)
+    C = patch_w.shape[0]
+    return {
+        "patch_w": jnp.asarray(patch_w.reshape(C, -1).T, dtype),
+        "patch_b": jnp.asarray(get("embeddings.patch_embedding.bias"), dtype),
+        "pos_embed": jnp.asarray(get("embeddings.position_embedding.weight"),
+                                 dtype),
+        "layers": {
+            "ln1_w": stack("encoder.layers.{i}.layer_norm1.weight"),
+            "ln1_b": stack("encoder.layers.{i}.layer_norm1.bias"),
+            "wq": stack("encoder.layers.{i}.self_attn.q_proj.weight", True),
+            "bq": stack("encoder.layers.{i}.self_attn.q_proj.bias"),
+            "wk": stack("encoder.layers.{i}.self_attn.k_proj.weight", True),
+            "bk": stack("encoder.layers.{i}.self_attn.k_proj.bias"),
+            "wv": stack("encoder.layers.{i}.self_attn.v_proj.weight", True),
+            "bv": stack("encoder.layers.{i}.self_attn.v_proj.bias"),
+            "wo": stack("encoder.layers.{i}.self_attn.out_proj.weight", True),
+            "bo": stack("encoder.layers.{i}.self_attn.out_proj.bias"),
+            "ln2_w": stack("encoder.layers.{i}.layer_norm2.weight"),
+            "ln2_b": stack("encoder.layers.{i}.layer_norm2.bias"),
+            "fc1": stack("encoder.layers.{i}.mlp.fc1.weight", True),
+            "fc1_b": stack("encoder.layers.{i}.mlp.fc1.bias"),
+            "fc2": stack("encoder.layers.{i}.mlp.fc2.weight", True),
+            "fc2_b": stack("encoder.layers.{i}.mlp.fc2.bias"),
+        },
+        "post_ln_w": jnp.asarray(get("post_layernorm.weight"), dtype),
+        "post_ln_b": jnp.asarray(get("post_layernorm.bias"), dtype),
+    }
+
+
+def convert_projector(state: Dict[str, Any],
+                      prefix: str = "multi_modal_projector.",
+                      dtype=jnp.bfloat16):
+    return {
+        "w1": jnp.asarray(_np(state[prefix + "linear_1.weight"]).T, dtype),
+        "b1": jnp.asarray(_np(state[prefix + "linear_1.bias"]), dtype),
+        "w2": jnp.asarray(_np(state[prefix + "linear_2.weight"]).T, dtype),
+        "b2": jnp.asarray(_np(state[prefix + "linear_2.bias"]), dtype),
+    }
+
+
 def qwen2_config_from_hf(hf_config) -> Qwen2Config:
     head_dim = getattr(hf_config, "head_dim", None) or (
         hf_config.hidden_size // hf_config.num_attention_heads)

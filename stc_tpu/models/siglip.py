@@ -1,0 +1,255 @@
+"""SigLIP vision tower with fused STC-Cacher — functional JAX implementation.
+
+Replaces the reference's monkey-patched HF SigLIP encoder
+(model/custom_siglip.py:25-259).  The STC-Cacher is a first-class compiled
+path instead of a runtime forward-rebind:
+
+  full chunk  (chunk_idx % cache_interval == 0): standard ViT layer; the last
+      frame's K, V, attention output and MLP output are saved as references
+      (custom_siglip.py:51-113).
+  cached chunk: K is recomputed for all tokens; per-token cosine similarity of
+      fresh K vs reference K picks the `update_ratio` LEAST-similar tokens per
+      frame; Q and V are computed only for those (a fixed-size gather — the
+      reference's num_update = int(T*ratio) is already shape-static); V is
+      scatter-updated into the reference V; attention runs with the selected
+      queries against full K/V; attention and MLP outputs are scatter-updated
+      into the reference outputs (custom_siglip.py:115-224).
+
+Cacher state is a pytree stacked over layers, so the whole tower is one
+lax.scan per chunk type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SiglipConfig:
+    hidden_size: int = 1152
+    num_layers: int = 26
+    num_heads: int = 16
+    intermediate_size: int = 4304
+    image_size: int = 384
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_tokens(self) -> int:
+        return self.grid * self.grid
+
+    @classmethod
+    def tiny(cls):
+        return cls(hidden_size=32, num_layers=2, num_heads=4,
+                   intermediate_size=64, image_size=56, patch_size=14)
+
+
+class CacherState(NamedTuple):
+    """Per-layer reference activations of the previous full chunk's last frame.
+
+    Leaves are (B, T, C); stacked over layers -> (L, B, T, C).
+    """
+    ref_k: jax.Array
+    ref_v: jax.Array
+    ref_attn: jax.Array
+    ref_mlp: jax.Array
+
+
+def init_cacher_state(cfg: SiglipConfig, batch: int,
+                      dtype=jnp.float32) -> CacherState:
+    z = jnp.zeros((cfg.num_layers, batch, cfg.num_tokens, cfg.hidden_size),
+                  dtype)
+    return CacherState(ref_k=z, ref_v=z, ref_attn=z, ref_mlp=z)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: SiglipConfig, key, dtype=jnp.float32) -> Dict[str, Any]:
+    C, L, F = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
+    P = cfg.patch_size
+    ks = jax.random.split(key, 10)
+    s = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    return {
+        "patch_w": rnd(ks[0], (3 * P * P, C)),
+        "patch_b": jnp.zeros((C,), dtype),
+        "pos_embed": rnd(ks[1], (cfg.num_tokens, C)),
+        "layers": {
+            "ln1_w": jnp.ones((L, C), dtype), "ln1_b": jnp.zeros((L, C), dtype),
+            "wq": rnd(ks[2], (L, C, C)), "bq": jnp.zeros((L, C), dtype),
+            "wk": rnd(ks[3], (L, C, C)), "bk": jnp.zeros((L, C), dtype),
+            "wv": rnd(ks[4], (L, C, C)), "bv": jnp.zeros((L, C), dtype),
+            "wo": rnd(ks[5], (L, C, C)), "bo": jnp.zeros((L, C), dtype),
+            "ln2_w": jnp.ones((L, C), dtype), "ln2_b": jnp.zeros((L, C), dtype),
+            "fc1": rnd(ks[6], (L, C, F)), "fc1_b": jnp.zeros((L, F), dtype),
+            "fc2": rnd(ks[7], (L, F, C)), "fc2_b": jnp.zeros((L, C), dtype),
+        },
+        "post_ln_w": jnp.ones((C,), dtype),
+        "post_ln_b": jnp.zeros((C,), dtype),
+    }
+
+
+def layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
+
+
+def patch_embed(params, pixels: jax.Array, cfg: SiglipConfig) -> jax.Array:
+    """pixels: (B, 3, H, W) -> (B, T, C).  Equivalent to the HF Conv2d with
+    stride=kernel=patch_size (patches are non-overlapping, so the conv is a
+    reshape + matmul — MXU-friendly)."""
+    B = pixels.shape[0]
+    P, g = cfg.patch_size, cfg.grid
+    x = pixels.reshape(B, 3, g, P, g, P)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, 3 * P * P)
+    return x @ params["patch_w"] + params["patch_b"] + params["pos_embed"]
+
+
+def _attn_full(q, k, v, num_heads):
+    """Plain bidirectional softmax attention; q/k/v: (B, Tq|Tk, C)."""
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    H = num_heads
+    D = C // H
+    qh = q.reshape(B, Tq, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh.astype(jnp.float32),
+                        kh.astype(jnp.float32)) * (D ** -0.5)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+    return o.transpose(0, 2, 1, 3).reshape(B, Tq, C).astype(q.dtype)
+
+
+def _layer_full(lp, h, cfg: SiglipConfig):
+    """Standard SigLIP encoder layer; returns (h, refs-of-LAST-frame...).
+
+    The 'last frame' is the last batch element of the chunk
+    (custom_siglip.py:78-79 uses key_states[-1]); our chunk batching keeps
+    frames on the batch axis, so refs are h[-1:]-shaped slices broadcast later.
+    """
+    eps = cfg.layer_norm_eps
+    hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
+    k_full = hn @ lp["wk"] + lp["bk"]
+    v_full = hn @ lp["wv"] + lp["bv"]
+    q_full = hn @ lp["wq"] + lp["bq"]
+    attn = _attn_full(q_full, k_full, v_full, cfg.num_heads)
+    attn = attn @ lp["wo"] + lp["bo"]
+    h = h + attn
+    hn2 = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
+    mlp = jax.nn.gelu(hn2 @ lp["fc1"] + lp["fc1_b"], approximate=True)
+    mlp = mlp @ lp["fc2"] + lp["fc2_b"]
+    h = h + mlp
+    return h, (k_full, v_full, attn, mlp)
+
+
+def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
+    """Selective-recompute layer (custom_siglip.py:115-224).
+
+    h: (F, T, C) current chunk frames; refs: per-layer reference activations
+    (F_ref==1 broadcastable (1, T, C) slices).
+    """
+    eps = cfg.layer_norm_eps
+    ref_k, ref_v, ref_attn, ref_mlp = refs
+    F_, T, C = h.shape
+
+    hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
+    k_full = hn @ lp["wk"] + lp["bk"]                       # (F, T, C)
+
+    # cosine similarity of fresh K vs reference K, per token
+    kf = k_full.astype(jnp.float32)
+    rf = ref_k.astype(jnp.float32)
+    sim = jnp.sum(kf * rf, axis=-1) / (
+        jnp.linalg.norm(kf, axis=-1) * jnp.linalg.norm(rf, axis=-1) + 1e-8)
+
+    # least-similar tokens get recomputed
+    _, upd_idx = jax.lax.top_k(-sim, num_update)            # (F, U)
+    upd_idx = jnp.sort(upd_idx, axis=-1)
+
+    toks = jnp.take_along_axis(hn, upd_idx[..., None], axis=1)  # (F, U, C)
+    q_sel = toks @ lp["wq"] + lp["bq"]
+    v_sel = toks @ lp["wv"] + lp["bv"]
+
+    v_full = _scatter_tokens(jnp.broadcast_to(ref_v, (F_, T, C)), upd_idx, v_sel)
+
+    attn_sel = _attn_full(q_sel, k_full, v_full, cfg.num_heads)
+    attn_sel = attn_sel @ lp["wo"] + lp["bo"]               # (F, U, C)
+    attn_full = _scatter_tokens(jnp.broadcast_to(ref_attn, (F_, T, C)),
+                                upd_idx, attn_sel)
+    h = h + attn_full
+
+    hn2 = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
+    toks2 = jnp.take_along_axis(hn2, upd_idx[..., None], axis=1)
+    mlp_sel = jax.nn.gelu(toks2 @ lp["fc1"] + lp["fc1_b"], approximate=True)
+    mlp_sel = mlp_sel @ lp["fc2"] + lp["fc2_b"]
+    mlp_full = _scatter_tokens(jnp.broadcast_to(ref_mlp, (F_, T, C)),
+                               upd_idx, mlp_sel)
+    h = h + mlp_full
+    return h
+
+
+def _scatter_tokens(base: jax.Array, idx: jax.Array, vals: jax.Array):
+    """base: (F, T, C); idx: (F, U); vals: (F, U, C) -> base with rows set."""
+    F_, T, C = base.shape
+    f = jnp.arange(F_)[:, None, None]
+    u = idx[:, :, None]
+    c = jnp.arange(C)[None, None, :]
+    return base.at[f, u, c].set(vals)
+
+
+# ---------------------------------------------------------------------------
+# Tower forward (full / cached chunk)
+# ---------------------------------------------------------------------------
+
+def encode_full(params, cfg: SiglipConfig, pixels: jax.Array,
+                cacher: CacherState) -> Tuple[jax.Array, CacherState]:
+    """Full-compute chunk: returns (features (F, T, C) of the last encoder
+    layer, refreshed cacher state).  Frames ride the batch axis."""
+    h = patch_embed(params, pixels, cfg)
+
+    def body(h, lp):
+        h, (k, v, a, m) = _layer_full(lp, h, cfg)
+        # save the LAST frame of the chunk as the reference
+        return h, (k[-1:], v[-1:], a[-1:], m[-1:])
+
+    h, refs = jax.lax.scan(body, h, params["layers"])
+    new_cacher = CacherState(ref_k=refs[0], ref_v=refs[1],
+                             ref_attn=refs[2], ref_mlp=refs[3])
+    return h, new_cacher
+
+
+def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
+                  cacher: CacherState, update_ratio: float) -> jax.Array:
+    """Selective-recompute chunk: returns features; cacher unchanged."""
+    num_update = max(1, min(int(cfg.num_tokens * update_ratio),
+                            cfg.num_tokens))
+    h = patch_embed(params, pixels, cfg)
+
+    def body(h, xs):
+        lp, rk, rv, ra, rm = xs
+        h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, (params["layers"], cacher.ref_k,
+                                  cacher.ref_v, cacher.ref_attn,
+                                  cacher.ref_mlp))
+    return h

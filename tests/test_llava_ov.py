@@ -1,0 +1,89 @@
+"""Full LLaVA-OneVision + ReKV session end to end on a tiny random model:
+frames -> SigLIP(+cacher) -> projector -> pooling -> pruner -> streaming LM
+-> retrieval QA."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stc_tpu.config import (CacherConfig, PrunerConfig, ReKVConfig,
+                            SessionConfig)
+from stc_tpu.models import llava_onevision as lo
+
+
+def make(seed=0, cacher="cacher", pruner="stc"):
+    cfg = lo.LlavaOVConfig.tiny()
+    # tiny vision: grid 4 -> 16 tokens -> pooled 2x2 = 4 tokens/frame
+    tpf = 3 if pruner == "stc" else cfg.tokens_per_frame
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=128, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=64,
+                        max_prompt_tokens=32, max_new_tokens=8),
+        cacher=CacherConfig(strategy=cacher, update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy=pruner, token_per_frame=tpf),
+    )
+    params = lo.init_random_params(cfg, jax.random.key(seed))
+    sess = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32)
+    return sess, cfg
+
+
+def test_llava_ov_full_streaming_session():
+    sess, cfg = make()
+    rng = np.random.default_rng(0)
+
+    sess.encode_init_prompt([1, 2, 3, 4])
+    frames = rng.uniform(0, 255, size=(6, 56, 56, 3)).astype(np.uint8)
+    # stream frame-by-frame (encode_chunk_frames=1)
+    for f in range(6):
+        sess.encode_video(frames[f:f + 1])
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 6
+    assert sess.frame_encoder.chunk_idx == 6
+
+    out = sess.question_answering([7, 8, 9], [7, 8, 9, 10],
+                                  stop_token_ids=[0], max_new_tokens=6)
+    assert 1 <= len(out) <= 6 and out[0] != 0
+
+    # continue streaming after QA
+    sess.encode_video(frames[0:1])
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 7
+
+
+def test_cacher_off_matches_reference_none_strategy():
+    """strategy='none' must run the full path every chunk (chunk pinned to 0
+    in the reference, abstract_rekv.py:62-63).  With the pruner also off
+    (stateless vision), the block written for a frame is history-independent."""
+    sess, cfg = make(cacher="none", pruner="none")
+    rng = np.random.default_rng(1)
+    sess.encode_init_prompt([1, 2, 3, 4])
+    frames = rng.uniform(0, 255, size=(2, 56, 56, 3)).astype(np.uint8)
+    sess.encode_video(frames[0:1])
+    sess.encode_video(frames[1:2])
+    sess2, _ = make(cacher="none", pruner="none")
+    sess2.encode_init_prompt([1, 2, 3, 4])
+    sess2.encode_video(frames[1:2])
+    # only LAYER 0's key block is history-independent (deeper layers attend
+    # the local window, so their hidden states depend on past frames — in the
+    # reference too); layer 0 K is a pure function of the vision features.
+    blk1 = np.asarray(sess.kvs.block_k)[0, :, 1]
+    blk2 = np.asarray(sess2.kvs.block_k)[0, :, 0]
+    np.testing.assert_allclose(blk1, blk2, rtol=1e-5, atol=1e-5)
+
+    # and with the cacher ON, chunk 1 takes the cached path -> its vision
+    # features (hence layer-0 K) differ from the full-compute result
+    sess3, _ = make(cacher="cacher", pruner="none")
+    sess3.encode_init_prompt([1, 2, 3, 4])
+    sess3.encode_video(frames[0:1])
+    sess3.encode_video(frames[1:2])
+    blk3 = np.asarray(sess3.kvs.block_k)[0, :, 1]
+    assert not np.allclose(blk3, blk1, rtol=1e-5, atol=1e-5)
+
+
+def test_clear_cache_resets_vision_state():
+    sess, _ = make()
+    rng = np.random.default_rng(2)
+    sess.encode_init_prompt([1, 2, 3, 4])
+    sess.encode_video(rng.uniform(0, 255, (2, 56, 56, 3)).astype(np.uint8))
+    sess.clear_cache()
+    assert sess.frame_encoder.chunk_idx == 0
+    assert int(np.asarray(sess.kvs.length).max()) == 0

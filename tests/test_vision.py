@@ -1,0 +1,182 @@
+"""Vision side: SigLIP parity vs HF, pooling parity vs torch, cacher and
+pruner parity vs numpy oracles, FrameEncoder end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stc_tpu.compress.pruner import (init_pruner_state, map_indices_flat,
+                                     map_indices_grid, stc_prune)
+from stc_tpu.config import CacherConfig, PrunerConfig, ReKVConfig, SessionConfig
+from stc_tpu.models import llava_onevision as lo
+from stc_tpu.models import siglip as sg
+from oracle_vision import OraclePruner, cached_layer_forward
+
+
+# ---------------------------------------------------------------------------
+# SigLIP tower vs HF
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hf_siglip():
+    torch = pytest.importorskip("torch")
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+    torch.manual_seed(0)
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        hidden_act="gelu_pytorch_tanh")
+    model = SiglipVisionModel(hf_cfg).eval()
+    cfg = sg.SiglipConfig(hidden_size=32, num_layers=2, num_heads=4,
+                          intermediate_size=64, image_size=56, patch_size=14)
+    from stc_tpu.models.convert import convert_siglip
+    params = convert_siglip(dict(model.state_dict()), cfg.num_layers,
+                            prefix="vision_model.", dtype=jnp.float32)
+    return model, cfg, params
+
+
+def test_siglip_full_matches_hf(hf_siglip):
+    import torch
+    model, cfg, params = hf_siglip
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(3, 3, 56, 56)).astype(np.float32)
+
+    with torch.no_grad():
+        hs = model(torch.tensor(pixels), output_hidden_states=True)
+    want = hs.hidden_states[-1].numpy()  # last encoder layer, pre-post-LN
+
+    cacher = sg.init_cacher_state(cfg, 1)
+    got, cacher = sg.encode_full(params, cfg, jnp.asarray(pixels), cacher)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+    # reference frame = last frame of the chunk
+    np.testing.assert_allclose(
+        np.asarray(cacher.ref_mlp)[0, 0],
+        np.asarray(cacher.ref_mlp)[0, 0], rtol=0, atol=0)
+    assert cacher.ref_k.shape == (2, 1, cfg.num_tokens, cfg.hidden_size)
+
+
+def test_cacher_ratio_one_equals_full(hf_siglip):
+    """update_ratio=1.0 recomputes every token -> cached path == full path."""
+    _, cfg, params = hf_siglip
+    rng = np.random.default_rng(1)
+    ref_pix = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    new_pix = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+
+    cacher = sg.init_cacher_state(cfg, 1)
+    _, cacher = sg.encode_full(params, cfg, jnp.asarray(ref_pix), cacher)
+
+    got = sg.encode_cached(params, cfg, jnp.asarray(new_pix), cacher,
+                           update_ratio=1.0)
+    want, _ = sg.encode_full(params, cfg, jnp.asarray(new_pix),
+                             sg.init_cacher_state(cfg, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_cached_layer_matches_oracle(hf_siglip):
+    _, cfg, params = hf_siglip
+    rng = np.random.default_rng(2)
+    T, C = cfg.num_tokens, cfg.hidden_size
+    F = 2
+    h = rng.normal(size=(F, T, C)).astype(np.float32)
+    refs = {k: rng.normal(size=(T, C)).astype(np.float32)
+            for k in ("ref_k", "ref_v", "ref_attn", "ref_mlp")}
+    lp = {k: np.asarray(v[0]) for k, v in params["layers"].items()}
+
+    want = cached_layer_forward(h, lp, refs, update_ratio=0.25,
+                                num_heads=cfg.num_heads)
+
+    lp_j = {k: jnp.asarray(v) for k, v in lp.items()}
+    refs_j = tuple(jnp.asarray(refs[k])[None]
+                   for k in ("ref_k", "ref_v", "ref_attn", "ref_mlp"))
+    num_update = max(1, int(T * 0.25))
+    got = sg._layer_cached(lp_j, jnp.asarray(h), refs_j, num_update, cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pooling parity vs torch
+# ---------------------------------------------------------------------------
+
+def test_apply_pooling_matches_torch_interpolate():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    F, g, E = 2, 9, 8
+    feats = rng.normal(size=(F, g * g, E)).astype(np.float32)
+    got = np.asarray(lo.apply_pooling(jnp.asarray(feats), g))
+
+    x = torch.tensor(feats).view(F, g, g, E).permute(0, 3, 1, 2)
+    out = int(np.ceil(g / 2))
+    y = torch.nn.functional.interpolate(x, size=(out, out), mode="bilinear")
+    want = y.permute(0, 2, 3, 1).reshape(F, out * out, E).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pruner parity vs oracle
+# ---------------------------------------------------------------------------
+
+def test_pruner_matches_oracle_multi_chunk():
+    rng = np.random.default_rng(4)
+    Tin, C, keep = 16, 12, 5
+    state = init_pruner_state(1, C // 2)
+    oracle = OraclePruner()
+    for chunk in range(4):
+        F = 2
+        feats = rng.normal(size=(F, Tin, C)).astype(np.float32)
+        pruned, idx, state = stc_prune(jnp.asarray(feats)[None], state,
+                                       keep_per_frame=keep)
+        want_idx, want_feats = oracle.compress(
+            feats.reshape(F * Tin, C), Tin, keep)
+        got_flat = np.asarray(map_indices_flat(idx, Tin))[0]
+        np.testing.assert_array_equal(got_flat, want_idx,
+                                      err_msg=f"chunk {chunk}")
+        np.testing.assert_allclose(
+            np.asarray(pruned)[0].reshape(F * keep, C), want_feats,
+            rtol=1e-5, atol=1e-5)
+
+
+def test_grid_index_mapping():
+    # one frame, grid 13: kept feature idx k maps to row*(13+1)+col and all 13
+    # newline tokens are appended per frame
+    idx = jnp.asarray([[[0, 13, 168]]])  # (B=1, F=1, K=3): (0,0),(1,0),(12,12)
+    got = np.asarray(map_indices_grid(idx, 13))[0]
+    assert got[0] == 0
+    assert got[1] == 14          # row 1 starts at 14 in the 13x14 layout
+    assert got[2] == 12 * 14 + 12
+    # newline tokens: col 13 of each row
+    np.testing.assert_array_equal(got[3:], np.arange(13) * 14 + 13)
+
+
+# ---------------------------------------------------------------------------
+# FrameEncoder end-to-end
+# ---------------------------------------------------------------------------
+
+def test_frame_encoder_pipeline():
+    cfg = lo.LlavaOVConfig.tiny()
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=256, block_size=3, exc_block_size=3,
+                        topk=4, max_blocks=32, max_prompt_tokens=16,
+                        max_new_tokens=4),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(token_per_frame=3),
+    )
+    params = lo.init_random_params(cfg, jax.random.key(0))
+    enc = lo.FrameEncoder(params, cfg, scfg)
+
+    frames = (np.random.default_rng(0)
+              .uniform(0, 255, size=(1, 56, 56, 3)).astype(np.uint8))
+    out0 = enc(frames)   # chunk 0: full
+    out1 = enc(frames)   # chunk 1: cached
+    assert out0.shape == (1, 3, cfg.text.hidden_size)
+    assert out1.shape == (1, 3, cfg.text.hidden_size)
+    assert enc.chunk_idx == 2
+    # identical frames + cacher: outputs should be very close (all tokens
+    # redundant; recomputed ones equal reference values)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=0.2, atol=0.2)
+
+    enc.reset()
+    assert enc.chunk_idx == 0
