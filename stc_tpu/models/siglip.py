@@ -119,6 +119,9 @@ def patch_embed(params, pixels: jax.Array, cfg: SiglipConfig) -> jax.Array:
     reshape + matmul — MXU-friendly)."""
     B = pixels.shape[0]
     P, g = cfg.patch_size, cfg.grid
+    # valid-padding conv: trailing pixels beyond grid*patch are discarded
+    # (384 = 27*14 + 6 for so400m-patch14-384)
+    pixels = pixels[:, :, : g * P, : g * P]
     x = pixels.reshape(B, 3, g, P, g, P)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, g * g, 3 * P * P)
     return x @ params["patch_w"] + params["patch_b"] + params["pos_embed"]
