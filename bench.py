@@ -64,15 +64,20 @@ def main():
 
     frames = rng.integers(0, 256, size=(4, 384, 384, 3), dtype=np.uint8)
 
+    def hard_sync():
+        # NOTE: on this platform block_until_ready can return before the
+        # execution finishes; fetching a value is the only reliable barrier
+        return float(jnp.sum(sess.kvs.block_rep.astype(jnp.float32)))
+
     # warmup: compile both vision paths + LM encode
     for i in range(n_warmup):
         sess.encode_video(frames[i % 4:i % 4 + 1])
-    jax.block_until_ready(sess.kvs.length)
+    hard_sync()
 
     t0 = time.perf_counter()
     for i in range(n_frames):
         sess.encode_video(frames[i % 4:i % 4 + 1])
-    jax.block_until_ready(sess.kvs.length)
+    hard_sync()
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

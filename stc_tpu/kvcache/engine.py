@@ -1,4 +1,4 @@
-"""Jitted streaming KV-cache engine.
+"""Jitted streaming KV-cache engine (paged, scatter-free).
 
 Pure-function equivalents of the reference ContextManager's methods
 (model/attention/kv_cache_manager.py):
@@ -6,46 +6,61 @@ Pure-function equivalents of the reference ContextManager's methods
   reference method                    here
   ----------------------------------  --------------------------------------
   append (:2248) + _append (:2059)    append_stream  (attention + state update)
-  _append_global (:2122)              block carving inside append_stream
+  _append_global (:2122)              page write inside append_stream
   get_global_hidden_and_mask (:1545)  init_active gating inside append_stream
   _calc_block_topk (:1414)            retrieve_blocks (static-topk + validity)
-  get_retrieved_kv (:773)             retrieve_blocks (gather from HBM store)
+  get_retrieved_kv (:773)             retrieve_blocks (gather from page ring)
   QA sliding-window path              decode_write / decode_attend
     (rekv_attention.py:369-426)
 
-Everything is static-shape; validity is expressed with masks, never with
-dynamic lengths.
+Performance notes (TPU):
+- every write is page/row-granular (scatter window dims = whole KV rows);
+  there are NO elementwise scatters in the hot path;
+- the local window is not a separate buffer: it is the last
+  ceil(n_local/S)+1 pages of the store, gathered by page index;
+- RoPE cos/sin tables are identical across decoder layers, so the model
+  computes them once per step (make_rope_cache) and passes them through the
+  layer scan.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from stc_tpu.config import ReKVConfig
 from stc_tpu.kvcache.state import StreamKV, DecodeKV
-from stc_tpu.ops.attention import AttnStage, multi_stage_attention
-from stc_tpu.ops.rope import apply_rope, apply_rope_one_angle
+from stc_tpu.ops.attention import multi_stage_attention, AttnStage
+from stc_tpu.ops.rope import apply_rope, apply_rope_one_angle, rope_cos_sin
+
+NEG_INF = float("-inf")
+
+
+def n_window_pages(cfg: ReKVConfig) -> int:
+    # ceil(n_local/S)+1 pages cover the sliding window; rounded up to the
+    # Pallas kernel's pages-per-tile so the window length tiles evenly
+    # (extra pages sit left of the window and are masked by distance)
+    w0 = -(-cfg.n_local // cfg.block_size) + 1
+    return -(-w0 // 8) * 8
 
 
 def init_stream_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
                    dtype=jnp.bfloat16) -> StreamKV:
     B, H, D = batch, n_kv_heads, head_dim
-    C = cfg.local_cap
     S = cfg.block_size
     Nb = cfg.max_blocks
+    assert Nb >= n_window_pages(cfg), (
+        f"max_blocks={Nb} must cover the local window "
+        f"({n_window_pages(cfg)} pages)")
     z = functools.partial(jnp.zeros, dtype=dtype)
     return StreamKV(
-        local_k=z((B, H, C, D)),
-        local_v=z((B, H, C, D)),
-        local_pos=jnp.full((B, C), -1, dtype=jnp.int32),
         init_k=z((B, H, cfg.n_init, D)),
         init_v=z((B, H, cfg.n_init, D)),
-        block_k=z((B, Nb, H, S, D)),
-        block_v=z((B, Nb, H, S, D)),
+        block_k=z((B, H, Nb, S, D)),
+        block_v=z((B, H, Nb, S, D)),
         block_rep=z((B, Nb, H, D)),
         num_blocks=jnp.zeros((B,), dtype=jnp.int32),
         length=jnp.zeros((B,), dtype=jnp.int32),
@@ -63,6 +78,107 @@ def init_decode_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
 
 
 # ---------------------------------------------------------------------------
+# RoPE cache (shared across decoder layers within one step)
+# ---------------------------------------------------------------------------
+
+class RopeCache(NamedTuple):
+    cos_q: jax.Array       # (T, D)
+    sin_q: jax.Array
+    cos_one: jax.Array     # (D,) one-angle for init-stage queries
+    sin_one: jax.Array
+    cos_init: jax.Array    # (B, n_init, D) init keys at window-relative pos
+    sin_init: jax.Array
+    cos_win: jax.Array     # (B, W, S, D) window-page keys
+    sin_win: jax.Array
+    win_pages: jax.Array   # (B, W) absolute page indices (may be <0 = empty)
+    win_slots: jax.Array   # (B, W) store slots (clipped page indices)
+    win_pos: jax.Array     # (B, W, S) absolute token positions
+    local_mask: jax.Array  # (B, 1, T, W, S)
+    init_local_mask: jax.Array  # (B, 1, T, n_init)
+    init_active: jax.Array      # (B,)
+    # pallas paged-kernel extras: rope tables for the tile-aligned page COVER
+    cos_cover: jax.Array   # (B, Lc, D)
+    sin_cover: jax.Array
+    start_tile: jax.Array  # (B,) first aligned store tile of the cover
+
+
+def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
+                    cfg: ReKVConfig, head_dim: int,
+                    rope_base: float) -> RopeCache:
+    """Everything position-dependent for one streaming append of T tokens.
+
+    length/num_blocks: (B,) state BEFORE the append.  The current block is
+    included in the window (it is written before attention).
+    """
+    B = length.shape[0]
+    S = cfg.block_size
+    W = n_window_pages(cfg)
+    Nb = cfg.max_blocks
+
+    rel_q = cfg.n_local + jnp.arange(T, dtype=jnp.int32)
+    cos_q, sin_q = rope_cos_sin(rel_q, head_dim, rope_base)
+    one = jnp.asarray(cfg.n_local - 1, jnp.int32)
+    cos_one, sin_one = rope_cos_sin(one, head_dim, rope_base)
+
+    L = length  # (B,)
+    tok_pos = L[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
+
+    # init keys under the LOCAL stage sit at their true positions 0..n_init-1
+    init_pos = jnp.arange(cfg.n_init, dtype=jnp.int32)[None, :]     # (1, n_init)
+    rel_init = jnp.clip(init_pos - L[:, None] + cfg.n_local, 0,
+                        cfg.rope_max_pos - 1)
+    cos_init, sin_init = rope_cos_sin(rel_init, head_dim, rope_base)
+    d_init = tok_pos[:, :, None] - init_pos[:, None, :]             # (B, T, nI)
+    init_local_mask = ((d_init >= 0) & (d_init < cfg.n_local)
+                       & (init_pos[:, None, :] < L[:, None, None]))[:, None]
+
+    # window pages: the last W pages including the block being appended
+    total = num_blocks[:, None] + 1
+    pages = total - W + jnp.arange(W, dtype=jnp.int32)[None, :]     # (B, W)
+    pvalid = pages >= 0
+    slots = jnp.clip(pages, 0, Nb - 1)
+    win_pos = (cfg.n_init + pages[:, :, None] * S
+               + jnp.arange(S, dtype=jnp.int32)[None, None, :])     # (B, W, S)
+    rel_win = jnp.clip(win_pos - L[:, None, None] + cfg.n_local, 0,
+                       cfg.rope_max_pos - 1)
+    cos_win, sin_win = rope_cos_sin(rel_win, head_dim, rope_base)
+    d_win = tok_pos[:, :, None, None] - win_pos[:, None, :, :]      # (B,T,W,S)
+    local_mask = ((d_win >= 0) & (d_win < cfg.n_local)
+                  & pvalid[:, None, :, None])[:, None]              # (B,1,T,W,S)
+
+    init_active = (L + T) > cfg.n_local
+
+    # tile-aligned page cover for the pallas paged kernel (computed lazily by
+    # XLA: dead-code-eliminated when the jnp backend is used)
+    from stc_tpu.ops.stream_attention import pages_per_tile
+    ppt = pages_per_tile(S)
+    n_read = W // ppt + 1
+    start_tile = jnp.clip(pages[:, 0], 0, None) // ppt          # (B,)
+    cover_pages = (start_tile[:, None] * ppt
+                   + jnp.arange(n_read * ppt, dtype=jnp.int32)[None, :])
+    cover_pos = (cfg.n_init + cover_pages[:, :, None] * S
+                 + jnp.arange(S, dtype=jnp.int32)[None, None, :])
+    rel_cover = jnp.clip(cover_pos - L[:, None, None] + cfg.n_local, 0,
+                         cfg.rope_max_pos - 1)
+    cos_cover, sin_cover = rope_cos_sin(rel_cover, head_dim, rope_base)
+    Lc = n_read * ppt * S
+    cos_cover = cos_cover.reshape(B, Lc, head_dim)
+    sin_cover = sin_cover.reshape(B, Lc, head_dim)
+
+    return RopeCache(cos_q, sin_q, cos_one, sin_one, cos_init, sin_init,
+                     cos_win, sin_win, pages, slots, win_pos, local_mask,
+                     init_local_mask, init_active, cos_cover, sin_cover,
+                     start_tile)
+
+
+def _rot(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply precomputed rope tables; cos/sin broadcast against x."""
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rot * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Streaming append (encode path)
 # ---------------------------------------------------------------------------
 
@@ -75,157 +191,157 @@ def append_stream(
     *,
     is_init: bool,
     rope_base: float = 10000.0,
+    rope_cache: Optional[RopeCache] = None,
+    backend: str = "jnp",   # 'jnp' | 'pallas' | 'pallas_interpret'
 ) -> Tuple[jax.Array, StreamKV]:
     """One streaming append of T tokens; returns (attn_out, new_state).
 
     Semantics mirror ContextManager.append for a single exc block:
-      stage 1: q attends the local ring with causal sliding-window mask
-               (0 <= dist < n_local), window-relative RoPE on both sides
-               (reference _append, kv_cache_manager.py:2059-2120);
+      stage 1: q attends [init tokens + window pages] with the causal
+               sliding-window mask (0 <= dist < n_local), window-relative
+               RoPE on both sides (reference _append);
       stage 2: one-angle-rotated q attends the UNROTATED init tokens with a
                full mask, active only once the stream has outgrown the local
                window — replicating the reference's deferred init fill
-               (get_global_hidden_and_mask, kv_cache_manager.py:1545-1616),
-               including its early-phase local/init double-count quirk.
+               (get_global_hidden_and_mask), including its early-phase
+               local/init double-count quirk.
 
-    If `is_init`, the T tokens are captured into init_k/v (they are the init
-    prompt; the reference lazily copies exactly these tokens later) and no
-    block is carved.  Otherwise T must equal cfg.block_size and the tokens
-    are carved into one global block with its representative mean key
-    (reference _append_global, kv_cache_manager.py:2122-2189).
+    If `is_init`, the T tokens are captured into init_k/v and attention is
+    plain causal self-attention (no blocks exist yet; statically simplified).
+    Otherwise T must equal cfg.block_size and the tokens are written as one
+    page with its representative mean key (reference _append_global).
     """
     B, Hq, T, D = q.shape
     Hkv = k.shape[1]
-    C = cfg.local_cap
-    assert T <= cfg.exc_block_size or is_init
-    if not is_init:
-        assert T == cfg.block_size, (T, cfg.block_size)
-
-    length = kv.length  # (B,)
-    tok_pos = length[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
-
-    # ---- ring write (before attention: queries must see themselves) ----
-    slots = tok_pos % C  # (B, T)
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    # scatter along the slot axis; k/v are (B, Hkv, T, D) -> write per (b, t)
-    local_k = kv.local_k.at[bidx[..., None, None],
-                            jnp.arange(Hkv)[None, :, None, None],
-                            slots[:, None, :, None],
-                            jnp.arange(D)[None, None, None, :]].set(
-        k.transpose(0, 1, 2, 3))
-    local_v = kv.local_v.at[bidx[..., None, None],
-                            jnp.arange(Hkv)[None, :, None, None],
-                            slots[:, None, :, None],
-                            jnp.arange(D)[None, None, None, :]].set(v)
-    local_pos = kv.local_pos.at[bidx, slots].set(tok_pos)
-
-    # ---- stage 1: local sliding-window attention over the ring ----
-    # window-relative positions: first query sits at rel n_local
-    # (bounded like the reference rope table, kv_cache_manager.py:637-639)
-    rel_q = cfg.n_local + jnp.arange(T, dtype=jnp.int32)  # (T,)
-    q_rot = apply_rope(q, rel_q, rope_base)
-    rel_k = local_pos - length[:, None] + cfg.n_local  # (B, C)
-    rel_k_safe = jnp.clip(rel_k, 0, cfg.rope_max_pos - 1)
-    k_ring_rot = apply_rope(local_k, rel_k_safe[:, None, :], rope_base)
-
-    dist = tok_pos[:, :, None] - local_pos[:, None, :]  # (B, T, C)
-    local_mask = (dist >= 0) & (dist < cfg.n_local) & (local_pos[:, None, :] >= 0)
-    local_mask = local_mask[:, None, :, :]  # (B, 1, T, C)
-
-    # ---- stage 2: init attention (one-angle q, unrotated init keys) ----
-    q_one = apply_rope_one_angle(q, cfg.n_local, rope_base)
-    init_active = (length + T) > cfg.n_local  # (B,) — reference fill trigger
-    init_mask = jnp.broadcast_to(
-        init_active[:, None, None, None], (B, 1, T, cfg.n_init)
-    )
-
-    # joint softmax over both stages — mirrors the two Attn.append calls with
-    # one shared online-softmax accumulator in the reference kernel.
-    if cfg.n_init == 0:
-        o = multi_stage_attention(
-            q_rot, [AttnStage(k_ring_rot, local_v, local_mask)])
-    else:
-        # stage-dependent q rotation: local stage uses window RoPE, init stage
-        # uses the one-angle rotation
-        o = _two_q_multi_stage(
-            q_rot, q_one,
-            k_ring_rot, local_v, local_mask,
-            kv.init_k, kv.init_v, init_mask,
-        )
-
-    # ---- state update: init capture or block carving ----
-    init_k, init_v = kv.init_k, kv.init_v
-    block_k, block_v, block_rep = kv.block_k, kv.block_v, kv.block_rep
-    num_blocks = kv.num_blocks
+    S = cfg.block_size
 
     if is_init:
-        # capture the first n_init stream tokens (= the init prompt)
         assert T == cfg.n_init, (T, cfg.n_init)
-        init_k = k
-        init_v = v
-    else:
-        widx = jnp.minimum(num_blocks, cfg.max_blocks - 1)  # (B,)
-        block_k = block_k.at[bidx[:, 0], widx].set(k)  # block slot is (Hkv, S, D)
-        block_v = block_v.at[bidx[:, 0], widx].set(v)
-        rep = jnp.mean(k.astype(jnp.float32), axis=2).astype(kv.block_rep.dtype)
-        block_rep = block_rep.at[bidx[:, 0], widx].set(rep)
-        num_blocks = jnp.minimum(num_blocks + 1, cfg.max_blocks)
+        rel = cfg.n_local + jnp.arange(T, dtype=jnp.int32)
+        q_rot = apply_rope(q, rel, rope_base)
+        k_rot = apply_rope(k, rel, rope_base)
+        dist = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
+        mask = (dist >= 0) & (dist < cfg.n_local)
+        o = multi_stage_attention(q_rot, [AttnStage(k_rot, v, mask[None, None])])
+        return o, kv._replace(init_k=k, init_v=v, length=kv.length + T)
 
-    new_kv = StreamKV(
-        local_k=local_k, local_v=local_v, local_pos=local_pos,
-        init_k=init_k, init_v=init_v,
-        block_k=block_k, block_v=block_v, block_rep=block_rep,
-        num_blocks=num_blocks,
-        length=length + T,
-    )
+    assert T == S, (T, S)
+    rc = rope_cache if rope_cache is not None else make_rope_cache(
+        kv.length, kv.num_blocks, T, cfg, D, rope_base)
+
+    # ---- page write (before attention: queries must see themselves) ----
+    # the store is append-only: slot == absolute block index, so the local
+    # window is a CONTIGUOUS range of pages (kernel reads it with plain
+    # blocked pipelining).  Streams longer than max_blocks pages need the
+    # host-offload tier; until then the last slot is overwritten.
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    slot = jnp.minimum(kv.num_blocks, cfg.max_blocks - 1)
+    # advanced indices on (batch, page) dims with the head dim sliced: the
+    # scatter window is a whole (S, D) page per kv head
+    block_k = kv.block_k.at[bidx, :, slot].set(k)
+    block_v = kv.block_v.at[bidx, :, slot].set(v)
+    rep = jnp.mean(k.astype(jnp.float32), axis=2).astype(kv.block_rep.dtype)
+    block_rep = kv.block_rep.at[bidx, slot].set(rep)
+    num_blocks = jnp.minimum(kv.num_blocks + 1, cfg.max_blocks)
+
+    # ---- rotations (tables shared across layers via rope_cache) ----
+    q_rot = _rot(q, rc.cos_q, rc.sin_q)
+    q_one = _rot(q, rc.cos_one, rc.sin_one)
+    k_init_rot = _rot(kv.init_k, rc.cos_init[:, None], rc.sin_init[:, None])
+
+    if backend.startswith("pallas"):
+        # paged path: the kernel streams the window's contiguous page tiles
+        # straight from the HBM store via a scalar-driven BlockSpec index map
+        # — no XLA gather, no materialized window copy
+        from stc_tpu.ops.stream_attention import stream_attention
+        scalars = jnp.stack([
+            kv.length,
+            rc.start_tile,
+            num_blocks,                  # total pages incl. the one written
+            rc.init_active.astype(jnp.int32),
+        ], axis=1).astype(jnp.int32)
+        o = stream_attention(
+            q_rot, q_one, block_k, block_v, rc.cos_cover, rc.sin_cover,
+            k_init_rot, kv.init_v, kv.init_k, scalars,
+            T=T, n_local=cfg.n_local, n_init=cfg.n_init,
+            interpret=(backend == "pallas_interpret"))
+    else:
+        # gather the window pages (includes the page just written);
+        # take_along_axis keeps the head-major layout: (B, Hkv, W, S, D)
+        widx = rc.win_slots[:, None, :, None, None]
+        win_k = jnp.take_along_axis(block_k, widx, axis=2)
+        win_v = jnp.take_along_axis(block_v, widx, axis=2)
+        k_win_rot = _rot(win_k, rc.cos_win[:, None], rc.sin_win[:, None])
+        # joint softmax over [init-local | window | init-one-angle]
+        o = _stream_attention(q_rot, q_one, k_init_rot, kv.init_v,
+                              rc.init_local_mask, k_win_rot, win_v,
+                              rc.local_mask, kv.init_k, kv.init_v,
+                              rc.init_active)
+
+    new_kv = kv._replace(block_k=block_k, block_v=block_v,
+                         block_rep=block_rep, num_blocks=num_blocks,
+                         length=kv.length + T)
     return o, new_kv
 
 
-def _two_q_multi_stage(q_a, q_b, k_a, v_a, mask_a, k_b, v_b, mask_b):
-    """Joint softmax over two stages with DIFFERENT query rotations.
+def _stream_attention(q_rot, q_one, k_init, v_init, m_init,
+                      k_win, v_win, m_win, k_init_raw, v_init_raw,
+                      init_active):
+    """Three-group joint softmax.
 
-    The reference applies window RoPE to the local-stage query and one-angle
-    RoPE to the init-stage query while both feed one online softmax
-    (_append, kv_cache_manager.py:2084-2113).  multi_stage_attention takes a
-    single q, so we inline the same math here.
+    q_rot/q_one: (B, Hq, T, D); k_init: (B, Hkv, nI, D);
+    k_win: (B, Hkv, W, S, D); m_win: (B, 1, T, W, S); m_init: (B, 1, T, nI).
+    Group 3 attends the UNROTATED init keys with one-angle queries, gated by
+    init_active (B,).
     """
-    B, Hq, T, D = q_a.shape
+    B, Hq, T, D = q_rot.shape
+    Hkv = k_init.shape[1]
+    G = Hq // Hkv
+    W, S = k_win.shape[2], k_win.shape[3]
+    nI = k_init.shape[2]
     scale = 1.0 / (D ** 0.5)
 
-    def _logits(qx, kx, mx):
-        Hkv = kx.shape[1]
-        G = Hq // Hkv
-        qg = qx.reshape(B, Hkv, G, T, D)
-        lg = jnp.einsum("bhgqd,bhkd->bhgqk", qg.astype(jnp.float32),
-                        kx.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
-        lg = lg.reshape(B, Hq, T, kx.shape[2])
-        return jnp.where(mx, lg * scale, float("-inf"))
+    def q_g(qx):
+        return qx.reshape(B, Hkv, G, T, D).astype(jnp.float32)
 
-    la = _logits(q_a, k_a, mask_a)
-    lb = _logits(q_b, k_b, mask_b)
-    logits = jnp.concatenate([la, lb], axis=-1)
+    lg_init = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_rot),
+                         k_init.astype(jnp.float32)).reshape(B, Hq, T, nI)
+    lg_init = jnp.where(m_init, lg_init * scale, NEG_INF)
+
+    lg_win = jnp.einsum("bhgqd,bhwsd->bhgqws", q_g(q_rot),
+                        k_win.astype(jnp.float32))
+    lg_win = lg_win.reshape(B, Hq, T, W, S)
+    m_win_h = jnp.broadcast_to(m_win, (B, 1, T, W, S))
+    lg_win = jnp.where(m_win_h, lg_win * scale, NEG_INF).reshape(B, Hq, T, W * S)
+
+    lg_far = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_one),
+                        k_init_raw.astype(jnp.float32)).reshape(B, Hq, T, nI)
+    m_far = jnp.broadcast_to(init_active[:, None, None, None], (B, 1, T, nI))
+    lg_far = jnp.where(m_far, lg_far * scale, NEG_INF)
+
+    logits = jnp.concatenate([lg_init, lg_win, lg_far], axis=-1)
     m = jnp.max(logits, axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    denom = jnp.where(denom == 0.0, 1.0, denom)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-38)
     p = p / denom
 
-    out = jnp.zeros((B, Hq, T, D), dtype=jnp.float32)
-    off = 0
-    for (vx, mx) in ((v_a, mask_a), (v_b, mask_b)):
-        Lk = vx.shape[2]
-        Hkv = vx.shape[1]
-        G = Hq // Hkv
-        ps = jnp.where(mx, p[..., off:off + Lk], 0.0)
-        pg = ps.reshape(B, Hkv, G, T, Lk)
-        out = out + jnp.einsum("bhgqk,bhkd->bhgqd", pg,
-                               vx.astype(jnp.float32),
-                               preferred_element_type=jnp.float32
-                               ).reshape(B, Hq, T, D)
-        off += Lk
-    return out.astype(q_a.dtype)
+    def p_g(px):
+        return px.reshape(B, Hkv, G, T, px.shape[-1])
+
+    p_init = jnp.where(m_init, p[..., :nI], 0.0)
+    p_win = jnp.where(m_win_h, p[..., nI:nI + W * S].reshape(B, Hq, T, W, S),
+                      0.0).reshape(B, Hq, T, W * S)
+    p_far = jnp.where(m_far, p[..., nI + W * S:], 0.0)
+
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p_init),
+                     v_init.astype(jnp.float32))
+    out = out + jnp.einsum(
+        "bhgqws,bhwsd->bhgqd",
+        p_g(p_win).reshape(B, Hkv, G, T, W, S), v_win.astype(jnp.float32))
+    out = out + jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p_far),
+                           v_init_raw.astype(jnp.float32))
+    return out.reshape(B, Hq, T, D).astype(q_rot.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +360,7 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     shapes: mean query vector · per-block mean keys (GQA-grouped, equal to the
     reference's expanded flat dot), chunk-grouped top-k, ascending index sort,
     and a validity mask replacing the reference's dynamic index filtering.
+    Ring-evicted blocks (absolute idx < num_blocks - max_blocks) are masked.
 
     Returns (ret_k, ret_v, token_valid, valid_len):
       ret_k/ret_v: (B, Hkv, R, D) with R = n_init + topk*block_size —
@@ -269,9 +386,12 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
             w.sum(axis=2), 1.0)
     q_grp = q_mean.reshape(B, Hkv, G, D).sum(axis=2)          # (B, Hkv, D)
     logits = jnp.einsum("bnhd,bhd->bn", kv.block_rep.astype(jnp.float32),
-                        q_grp)                                # (B, Nb)
+                        q_grp)                                # (B, Nb) slot-indexed
 
-    blk_valid = jnp.arange(Nb)[None, :] < kv.num_blocks[:, None]  # (B, Nb)
+    # append-only store: slot == absolute block index
+    slot_ids = jnp.arange(Nb, dtype=jnp.int32)[None, :]
+    n = kv.num_blocks[:, None]
+    blk_valid = slot_ids < n
 
     # chunk-grouped masked mean (reference remainder-chunk semantics)
     lg = jnp.where(blk_valid, logits, 0.0).reshape(B, Nb // cs, cs)
@@ -280,22 +400,18 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
                             -jnp.inf)                          # (B, Nb/cs)
 
     _, chunk_idx = jax.lax.top_k(chunk_score, k_chunks)        # (B, k_chunks)
-    # push invalid chunks to the end, sort valid ascending (reference sorts)
     chunk_valid = jnp.take_along_axis(cnt > 0, chunk_idx, axis=1)
     sort_key = jnp.where(chunk_valid, chunk_idx, Nb // cs + 1)
     chunk_idx = jnp.sort(sort_key, axis=1)
-    block_idx = (chunk_idx[:, :, None] * cs
-                 + jnp.arange(cs, dtype=jnp.int32)[None, None, :]
-                 ).reshape(B, cfg.topk)                        # (B, topk)
-    sel_valid = block_idx < kv.num_blocks[:, None]             # (B, topk)
-    block_idx_safe = jnp.clip(block_idx, 0, Nb - 1)
+    block_slot = (chunk_idx[:, :, None] * cs
+                  + jnp.arange(cs, dtype=jnp.int32)[None, None, :]
+                  ).reshape(B, cfg.topk)                       # (B, topk) slots
+    block_slot_safe = jnp.clip(block_slot, 0, Nb - 1)
+    sel_valid = (block_slot < kv.num_blocks[:, None])
 
-    gk = jnp.take_along_axis(
-        kv.block_k, block_idx_safe[:, :, None, None, None], axis=1
-    )  # (B, topk, Hkv, S, D)
-    gv = jnp.take_along_axis(
-        kv.block_v, block_idx_safe[:, :, None, None, None], axis=1
-    )
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    gk = kv.block_k[bidx, :, block_slot_safe]   # (B, topk, Hkv, S, D)
+    gv = kv.block_v[bidx, :, block_slot_safe]
 
     # pack to (B, Hkv, topk*S, D), tokens in block order
     gk = gk.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, cfg.topk * S, D)
@@ -331,15 +447,11 @@ def decode_write(dkv: DecodeKV, k: jax.Array, v: jax.Array,
     slot = jnp.minimum(slot, C - 1)
     k_rot = apply_rope(k, slot[:, None, :], rope_base)
 
-    bidx = jnp.arange(B)[:, None]
-    nk = dkv.k.at[bidx[..., None, None],
-                  jnp.arange(Hkv)[None, :, None, None],
-                  slot[:, None, :, None],
-                  jnp.arange(D)[None, None, None, :]].set(k_rot)
-    nv = dkv.v.at[bidx[..., None, None],
-                  jnp.arange(Hkv)[None, :, None, None],
-                  slot[:, None, :, None],
-                  jnp.arange(D)[None, None, None, :]].set(v)
+    # row-granular write: advanced indices on (batch, slot) dims, KV rows as
+    # scatter window (dims Hkv, D) — no elementwise scatter
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    nk = dkv.k.at[bidx, :, slot].set(k_rot.transpose(0, 2, 1, 3))
+    nv = dkv.v.at[bidx, :, slot].set(v.transpose(0, 2, 1, 3))
     n_tokens = jnp.asarray(n_tokens, jnp.int32)
     n_tokens = jnp.broadcast_to(n_tokens, (B,))
     cursor = (jnp.zeros((B,), jnp.int32) if at_start else dkv.cursor) + n_tokens

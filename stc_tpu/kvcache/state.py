@@ -2,25 +2,31 @@
 
 TPU-native re-architecture of the reference ContextManager's mutable state
 (model/attention/kv_cache_manager.py:441-658).  Every dynamic structure in the
-reference becomes a static-shape array + integer cursor:
+reference becomes a static-shape array + integer cursor — and, unlike the
+reference (which keeps separate copies for the local window, the remainder,
+and the CPU block store), ONE paged store serves both roles:
 
   reference                          here
   ---------------------------------  ------------------------------------------
-  local_k/v (growing concat + trim)  ring buffer (B, Hkv, local_cap, D) + pos map
+  local_k/v (growing concat + trim)  the last ceil(n_local/S)+1 pages of the
+                                     block store, gathered by page index
   init_k/v (lazy fill from stream)   eager capture of first n_init tokens
-  global_blocks (CPU MemoryUnits)    HBM block store (B, max_blocks, Hkv, S, D)
-  block_k (VectorTensor, doubling)   rep-key array (B, max_blocks, Hkv, D) + count
-  cached_blocks LRU dict + CudaCache not needed: blocks live in HBM, gathered by
+  global_blocks (CPU MemoryUnits)    HBM page ring (B, max_blocks, Hkv, S, D)
+  block_k (VectorTensor, doubling)   rep-key array (B, max_blocks, Hkv, D)
+  cached_blocks LRU dict + CudaCache not needed: pages live in HBM, gathered by
                                      index; host offload is a later tier
-  global_remainder                   not needed: blocks are carved eagerly (the
-                                     deferred carving in the reference is
-                                     retrieval-equivalent; attention-phase
-                                     gating is preserved via the init_active
-                                     condition in engine.append_stream)
+  global_remainder                   not needed: every non-init append is
+                                     exactly one page (exc_block_size ==
+                                     block_size in every reference config)
+
+Pages are written with one row-granular update per append (no elementwise
+scatter), and the store wraps modulo max_blocks: pages older than the
+capacity are evicted exactly like the reference's LRU offload, except
+eviction is by age (retrieval masks evicted indices).
 
 Keys are stored UNROTATED everywhere (as in the reference): RoPE is applied at
-attention time with bounded window-relative positions, and retrieved blocks get
-fresh contiguous positions — the position-agnostic retrieval trick
+attention time with bounded window-relative positions, and retrieved blocks
+get fresh contiguous positions — the position-agnostic retrieval trick
 (reference rope.py:89-104, kv_cache_manager.py:637-639).
 
 All leaves carry a leading batch dim B (stream batch); model code stacks one
@@ -38,20 +44,15 @@ import jax
 class StreamKV(NamedTuple):
     """Per-layer streaming KV state for one batch of streams."""
 
-    # ring-buffered local window (unrotated K / raw V)
-    local_k: jax.Array    # (B, Hkv, local_cap, D)
-    local_v: jax.Array    # (B, Hkv, local_cap, D)
-    local_pos: jax.Array  # (B, local_cap) int32, global position of slot, -1 empty
-
     # init tokens (always-resident, unrotated)
     init_k: jax.Array     # (B, Hkv, n_init, D)
     init_v: jax.Array     # (B, Hkv, n_init, D)
 
-    # global block store (one block per pruned frame)
+    # paged global store, ring-addressed by absolute block index % max_blocks
     block_k: jax.Array    # (B, max_blocks, Hkv, S, D) unrotated
     block_v: jax.Array    # (B, max_blocks, Hkv, S, D)
     block_rep: jax.Array  # (B, max_blocks, Hkv, D) mean key per block
-    num_blocks: jax.Array  # (B,) int32
+    num_blocks: jax.Array  # (B,) int32 — total blocks ever appended
 
     length: jax.Array     # (B,) int32 — total stream tokens appended
 

@@ -159,13 +159,108 @@ class FrameEncoder:
 # Assembly
 # ---------------------------------------------------------------------------
 
+class LlavaOVSession(StreamingSession):
+    """Streaming session with the whole per-frame step fused into ONE jit
+    call (vision tower + projector + pooling + pruner + LM prefill) — a
+    single device dispatch per frame instead of the reference's
+    per-module python round trips."""
+
+    def __init__(self, params: Dict[str, Any], cfg: LlavaOVConfig,
+                 scfg: SessionConfig, state_dtype=jnp.bfloat16,
+                 vision_dtype=jnp.float32):
+        import functools
+
+        self._all_params = params
+        self.ovcfg = cfg
+        self._vdtype = vision_dtype
+        super().__init__(params["text"], cfg.text, scfg,
+                         state_dtype=state_dtype)
+        vc = cfg.vision
+        rekv = scfg.rekv
+
+        def _pre(frames_u8):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            if (frames_u8.shape[1] != vc.image_size
+                    or frames_u8.shape[2] != vc.image_size):
+                x = jax.image.resize(
+                    x, (x.shape[0], vc.image_size, vc.image_size, 3),
+                    "bilinear")
+            x = (x - IMAGE_MEAN) / IMAGE_STD
+            return x.transpose(0, 3, 1, 2).astype(vision_dtype)
+
+        self._pre = jax.jit(_pre)
+
+        def _frame(params, pixels, kvs, cacher, pstate, *, cached):
+            if cached:
+                feats = sg.encode_cached(params["vision"], vc, pixels, cacher,
+                                         scfg.cacher.update_token_ratio)
+            else:
+                feats, cacher = sg.encode_full(params["vision"], vc, pixels,
+                                               cacher)
+            feats = project(params["projector"], feats)
+            feats = apply_pooling(feats, vc.grid)
+            if scfg.pruner.enabled:
+                pruned, _, pstate = stc_prune(
+                    feats[None], pstate,
+                    keep_per_frame=scfg.pruner.token_per_frame,
+                    channel_keep_ratio=scfg.pruner.channel_keep_ratio)
+                _, F_, K, E = pruned.shape
+                flat = pruned.reshape(1, F_ * K, E)
+            else:
+                flat = feats.reshape(1, -1, feats.shape[-1])
+            S = rekv.block_size
+            for i in range(flat.shape[1] // S):
+                _, kvs = qw.encode_step(params["text"], cfg.text, rekv, kvs,
+                                        flat[:, i * S:(i + 1) * S],
+                                        is_init=False,
+                                        attn_backend=self.attn_backend)
+            return kvs, cacher, pstate
+
+        self._frame_full = jax.jit(
+            functools.partial(_frame, cached=False),
+            donate_argnames=("kvs", "cacher"))
+        self._frame_cached = jax.jit(
+            functools.partial(_frame, cached=True), donate_argnames=("kvs",))
+        self._reset_vision()
+
+    def _reset_vision(self):
+        vc = self.ovcfg.vision
+        self.chunk_idx = 0
+        self._cacher = sg.init_cacher_state(vc, 1, self._vdtype)
+        self._pstate = init_pruner_state(
+            1, int(self.ovcfg.text.hidden_size
+                   * self.scfg.pruner.channel_keep_ratio))
+
+    def clear_cache(self):
+        super().clear_cache()
+        if hasattr(self, "_all_params"):
+            self._reset_vision()
+
+    def encode_video(self, frames):
+        """frames: (n_frames, H, W, 3) uint8; chunked by encode_chunk_frames."""
+        frames = np.asarray(frames)
+        n = self.scfg.encode_chunk_frames
+        for s in range(0, frames.shape[0], n):
+            pixels = self._pre(jnp.asarray(frames[s:s + n]))
+            use_cached = (self.scfg.cacher.enabled
+                          and self.chunk_idx % self.scfg.cacher.cache_interval
+                          != 0)
+            if use_cached:
+                self.kvs, _, self._pstate = self._frame_cached(
+                    self._all_params, pixels, kvs=self.kvs,
+                    cacher=self._cacher, pstate=self._pstate)
+            else:
+                self.kvs, self._cacher, self._pstate = self._frame_full(
+                    self._all_params, pixels, kvs=self.kvs,
+                    cacher=self._cacher, pstate=self._pstate)
+            self.chunk_idx += 1
+
+
 def build_session(params: Dict[str, Any], cfg: LlavaOVConfig,
                   scfg: SessionConfig, state_dtype=jnp.bfloat16,
                   vision_dtype=jnp.float32) -> StreamingSession:
-    enc = FrameEncoder(params, cfg, scfg, dtype=vision_dtype)
-    sess = StreamingSession(params["text"], cfg.text, scfg,
-                            state_dtype=state_dtype, frame_encoder=enc)
-    return sess
+    return LlavaOVSession(params, cfg, scfg, state_dtype=state_dtype,
+                          vision_dtype=vision_dtype)
 
 
 def init_random_params(cfg: LlavaOVConfig, key, dtype=jnp.float32):

@@ -141,21 +141,29 @@ def _mlp(lp, h, cfg: Qwen2Config):
 # ---------------------------------------------------------------------------
 
 def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
-                kvs: StreamKV, embeds: jax.Array, *, is_init: bool
-                ) -> Tuple[jax.Array, StreamKV]:
+                kvs: StreamKV, embeds: jax.Array, *, is_init: bool,
+                attn_backend: str = "jnp") -> Tuple[jax.Array, StreamKV]:
     """One streaming append of T tokens through all layers.
 
     embeds: (B, T, E).  Returns (final hidden states, new stacked StreamKV).
     Mirrors Abstract_ReKV._encode_video_chunk's LM forward
     (abstract_rekv.py:38-43) with past_key_values == the streaming cache.
     """
+    rc = None
+    if not is_init:
+        # position tables/masks are identical for every layer — build once
+        from stc_tpu.kvcache.engine import make_rope_cache
+        rc = make_rope_cache(kvs.length[0], kvs.num_blocks[0],
+                             embeds.shape[1], rekv, cfg.head_dim,
+                             cfg.rope_base)
 
     def body(h, xs):
         lp, kv = xs
         hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
         q, k, v = _qkv(lp, hn, cfg)
         o, kv = append_stream(kv, q, k, v, rekv, is_init=is_init,
-                              rope_base=cfg.rope_base)
+                              rope_base=cfg.rope_base, rope_cache=rc,
+                              backend=attn_backend)
         h = h + _proj_out(lp, o, cfg)
         hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
         h = h + _mlp(lp, hn, cfg)

@@ -187,8 +187,9 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
     # least-similar tokens get recomputed
     _, upd_idx = jax.lax.top_k(-sim, num_update)            # (F, U)
     upd_idx = jnp.sort(upd_idx, axis=-1)
+    frow = jnp.arange(F_, dtype=jnp.int32)[:, None]          # (F, 1)
 
-    toks = jnp.take_along_axis(hn, upd_idx[..., None], axis=1)  # (F, U, C)
+    toks = hn[frow, upd_idx]                                 # row gather (F,U,C)
     q_sel = toks @ lp["wq"] + lp["bq"]
     v_sel = toks @ lp["wv"] + lp["bv"]
 
@@ -201,7 +202,7 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
     h = h + attn_full
 
     hn2 = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
-    toks2 = jnp.take_along_axis(hn2, upd_idx[..., None], axis=1)
+    toks2 = hn2[frow, upd_idx]
     mlp_sel = jax.nn.gelu(toks2 @ lp["fc1"] + lp["fc1_b"], approximate=True)
     mlp_sel = mlp_sel @ lp["fc2"] + lp["fc2_b"]
     mlp_full = _scatter_tokens(jnp.broadcast_to(ref_mlp, (F_, T, C)),
@@ -211,12 +212,13 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
 
 
 def _scatter_tokens(base: jax.Array, idx: jax.Array, vals: jax.Array):
-    """base: (F, T, C); idx: (F, U); vals: (F, U, C) -> base with rows set."""
-    F_, T, C = base.shape
-    f = jnp.arange(F_)[:, None, None]
-    u = idx[:, :, None]
-    c = jnp.arange(C)[None, None, :]
-    return base.at[f, u, c].set(vals)
+    """base: (F, T, C); idx: (F, U); vals: (F, U, C) -> base with rows set.
+
+    Row-granular scatter: advanced indices only on (frame, token) dims, the
+    channel dim stays a scatter window (fast path on TPU)."""
+    F_ = base.shape[0]
+    f = jnp.arange(F_, dtype=jnp.int32)[:, None]
+    return base.at[f, idx].set(vals)
 
 
 # ---------------------------------------------------------------------------

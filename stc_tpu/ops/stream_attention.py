@@ -1,0 +1,236 @@
+"""Pallas fused paged streaming attention — the framework's #1 kernel.
+
+TPU-native equivalent of the reference's Triton multi-stage flash attention
+(model/attention/dot_production_attention/triton_impl.py:25-336) crossed with
+its paged KV machinery (kv_cache_manager.py MemoryUnit/CudaCache):
+one fused kernel computes the encode-path joint softmax over three KV groups
+
+    [init tokens @ local window rope | window pages | init tokens @ one-angle]
+
+with a single online-softmax accumulator carried across KV tiles in VMEM
+(the Triton kernel's cross-call m/l/acc state becomes per-core scratch), and
+
+- the window pages are read DIRECTLY from the append-only HBM page store via
+  a scalar-prefetch-driven BlockSpec index map (the store is append-only, so
+  the window is a contiguous page range — Pallas double-buffers the page
+  tile loads automatically; the XLA gather this replaces ran at ~1/10th of
+  copy bandwidth),
+- RoPE fused into the K-tile consumption (cos/sin tables are precomputed once
+  per step and shared by all layers; keys stay unrotated in HBM),
+- masks computed from affine position arithmetic in-kernel (page p, offset o
+  has position n_init + p*S + o) — nothing mask-shaped ever touches HBM,
+- GQA folded into the q rows: each kv-head program processes G*T query rows.
+
+Numerics follow the flash-attention playbook: fp32 m/l/acc, bf16 matmuls with
+fp32 accumulation, masked probabilities zeroed post-exp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+LANES = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def pages_per_tile(S: int) -> int:
+    """Power-of-two pages per KV tile, keeping the tile near 512 keys.
+
+    Must divide the (8-aligned) window page count from
+    engine.n_window_pages."""
+    return next((d for d in (8, 4, 2, 1) if d * S <= 512), 1)
+
+
+def _rot_half(x):
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-b, a], axis=-1)
+
+
+def _kernel(scal_ref,                       # (B, 4) int32 scalar prefetch
+            q_rot_ref, q_one_ref,           # (1, 1, GT, D)
+            k_pages_ref, v_pages_ref,       # (1, 1, ppt, S, D) window tile
+            cos_ref, sin_ref,               # (1, TILE, D) f32
+            k_init_ref, v_init_ref, k_init_raw_ref,  # (1, 1, NI, D)
+            o_ref,                          # (1, 1, GT, D)
+            m_scr, l_scr, acc_scr,          # VMEM scratch
+            *, Tp, n_local, n_init, ppt, S, n_tiles, scale):
+    b = pl.program_id(0)
+    t_idx = pl.program_id(2)
+
+    L = scal_ref[b, 0]
+    start_page = scal_ref[b, 1] * ppt
+    total = scal_ref[b, 2]
+    init_active = scal_ref[b, 3]
+
+    GT = q_rot_ref.shape[2]
+    tile = ppt * S
+
+    @pl.when(t_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    row_tok = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 0) % Tp
+    q_pos = L + row_tok
+
+    def online_update(s, mask, v):
+        s = jnp.where(mask, s * scale, NEG)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    # ---- window tile: pages are consecutive, positions are affine ----
+    col = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 1)
+    page_idx = start_page + t_idx * ppt + col // S
+    pos = n_init + page_idx * S + col % S
+    dist = q_pos - pos
+    mask = (dist >= 0) & (dist < n_local) & (page_idx < total)
+
+    D = q_rot_ref.shape[3]
+    k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    k_rot = (k * cos + _rot_half(k) * sin).astype(jnp.bfloat16)
+    q = q_rot_ref[0, 0].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(q, k_rot, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    v_tile = v_pages_ref[0, 0].reshape(tile, D)
+    online_update(s, mask, v_tile)
+
+    # ---- epilogue on the last window tile: init stages + finalize ----
+    @pl.when(t_idx == n_tiles - 1)
+    def _epilogue():
+        NI = k_init_ref.shape[2]
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (GT, NI), 1)
+        q_pos_i = L + jax.lax.broadcasted_iota(jnp.int32, (GT, NI), 0) % Tp
+
+        # init tokens under the local window (true positions 0..n_init-1)
+        d_i = q_pos_i - jcol
+        mask_i = (d_i >= 0) & (d_i < n_local) & (jcol < n_init)
+        k_i = k_init_ref[0, 0].astype(jnp.bfloat16)
+        s_i = jax.lax.dot_general(q_rot_ref[0, 0].astype(jnp.bfloat16), k_i,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        online_update(s_i, mask_i, v_init_ref[0, 0])
+
+        # init tokens in the far field (one-angle queries, unrotated keys)
+        mask_f = (jcol < n_init) & (init_active > 0)
+        k_f = k_init_raw_ref[0, 0].astype(jnp.bfloat16)
+        s_f = jax.lax.dot_general(q_one_ref[0, 0].astype(jnp.bfloat16), k_f,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        online_update(s_f, mask_f, v_init_ref[0, 0])
+
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "T", "n_local", "n_init", "interpret"))
+def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
+                     k_init_rot, v_init, k_init_raw, scalars,
+                     *, T: int, n_local: int, n_init: int,
+                     interpret: bool = False):
+    """Fused paged encode-path attention.
+
+    q_rot/q_one: (B, Hq, T, D) pre-rotated queries.
+    block_k/block_v: (B, Hkv, Nb, S, D) UNROTATED append-only page store;
+      the kernel streams the window's contiguous page tiles directly from it.
+    cos_cover/sin_cover: (B, Lc, D) fp32 rope tables for the page COVER
+      (n_read_tiles aligned tiles starting at scalars[:,1]*ppt).
+    k_init_rot/v_init/k_init_raw: (B, Hkv, n_init, D).
+    scalars: (B, 4) int32 [L, start_tile, total_pages, init_active].
+    Returns (B, Hq, T, D).
+    """
+    B, Hq, _, D = q_rot.shape
+    Hkv = block_k.shape[1]
+    Nb = block_k.shape[2]
+    S = block_k.shape[3]
+    G = Hq // Hkv
+    dtype = q_rot.dtype
+    assert T == S, (T, S)
+
+    Tp = _round_up(T, 8)
+    GT = G * Tp
+    NI = _round_up(n_init, 8)
+    ppt = pages_per_tile(S)
+    tile = ppt * S
+    assert Nb % ppt == 0, (Nb, ppt)
+    Lc = cos_cover.shape[1]
+    assert Lc % tile == 0, (Lc, tile)
+    n_tiles = Lc // tile
+    NT = Nb // ppt
+
+    def pad_q(qx):
+        qx = jnp.pad(qx, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+        return qx.reshape(B, Hkv, GT, D)
+
+    def pad_init(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, NI - n_init), (0, 0)))
+
+    # page store viewed as aligned tiles: (B, Hkv, NT, tile==ppt*S, D)
+    k_tiled = block_k.reshape(B, Hkv, NT, tile, D)
+    v_tiled = block_v.reshape(B, Hkv, NT, tile, D)
+
+    def page_map(b, h, t, s):
+        return (b, h, jnp.minimum(s[b, 1] + t, NT - 1), 0, 0)
+
+    grid = (B, Hkv, n_tiles)
+    kern = functools.partial(
+        _kernel, Tp=Tp, n_local=n_local, n_init=n_init, ppt=ppt, S=S,
+        n_tiles=n_tiles, scale=1.0 / (D ** 0.5))
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, GT, D), lambda b, h, t, s: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, GT, D), lambda b, h, t, s: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, tile, D), page_map),
+                pl.BlockSpec((1, 1, 1, tile, D), page_map),
+                pl.BlockSpec((1, tile, D), lambda b, h, t, s: (b, t, 0)),
+                pl.BlockSpec((1, tile, D), lambda b, h, t, s: (b, t, 0)),
+                pl.BlockSpec((1, 1, NI, D), lambda b, h, t, s: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, NI, D), lambda b, h, t, s: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, NI, D), lambda b, h, t, s: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, GT, D),
+                                   lambda b, h, t, s: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((GT, LANES), jnp.float32),
+                pltpu.VMEM((GT, LANES), jnp.float32),
+                pltpu.VMEM((GT, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GT, D), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(scalars, pad_q(q_rot), pad_q(q_one), k_tiled, v_tiled,
+      cos_cover, sin_cover,
+      pad_init(k_init_rot), pad_init(v_init), pad_init(k_init_raw))
+
+    out = out.reshape(B, Hkv, G, Tp, D)[:, :, :, :T]
+    return out.reshape(B, Hq, T, D)

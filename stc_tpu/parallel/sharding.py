@@ -35,13 +35,10 @@ def qwen2_param_specs():
 def stream_kv_specs() -> StreamKV:
     """Specs for the layer-stacked StreamKV: leaves carry (L, B, ...)."""
     return StreamKV(
-        local_k=P(None, "dp", "tp", None, None),
-        local_v=P(None, "dp", "tp", None, None),
-        local_pos=P(None, "dp", None),
         init_k=P(None, "dp", "tp", None, None),
         init_v=P(None, "dp", "tp", None, None),
-        block_k=P(None, "dp", None, "tp", None, None),
-        block_v=P(None, "dp", None, "tp", None, None),
+        block_k=P(None, "dp", "tp", None, None, None),
+        block_v=P(None, "dp", "tp", None, None, None),
         block_rep=P(None, "dp", None, "tp", None),
         num_blocks=P(None, "dp"),
         length=P(None, "dp"),

@@ -35,6 +35,13 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+def _resolve_backend(name: str) -> str:
+    """'auto' -> fused Pallas attention on accelerators, jnp on CPU."""
+    if name != "auto":
+        return name
+    return "jnp" if jax.default_backend() == "cpu" else "pallas"
+
+
 class StreamingSession:
     def __init__(
         self,
@@ -59,11 +66,14 @@ class StreamingSession:
             f"decode_cap={self.rekv.decode_cap} n_local={self.rekv.n_local}")
 
         mc, rc = model_cfg, self.rekv
+        self.attn_backend = _resolve_backend(
+            __import__("os").environ.get("STC_ATTN_BACKEND", "auto"))
         self._encode_init = jax.jit(functools.partial(
             qw.encode_step, cfg=mc, rekv=rc, is_init=True),
             donate_argnames=("kvs",))
         self._encode_block = jax.jit(functools.partial(
-            qw.encode_step, cfg=mc, rekv=rc, is_init=False),
+            qw.encode_step, cfg=mc, rekv=rc, is_init=False,
+            attn_backend=self.attn_backend),
             donate_argnames=("kvs",))
         self._qa_retrieve = jax.jit(functools.partial(
             qw.qa_retrieve_step, cfg=mc, rekv=rc), donate_argnames=("dkvs",))

@@ -38,7 +38,7 @@ def test_llava_ov_full_streaming_session():
     for f in range(6):
         sess.encode_video(frames[f:f + 1])
     assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 6
-    assert sess.frame_encoder.chunk_idx == 6
+    assert sess.chunk_idx == 6
 
     out = sess.question_answering([7, 8, 9], [7, 8, 9, 10],
                                   stop_token_ids=[0], max_new_tokens=6)
@@ -65,8 +65,9 @@ def test_cacher_off_matches_reference_none_strategy():
     # only LAYER 0's key block is history-independent (deeper layers attend
     # the local window, so their hidden states depend on past frames — in the
     # reference too); layer 0 K is a pure function of the vision features.
-    blk1 = np.asarray(sess.kvs.block_k)[0, :, 1]
-    blk2 = np.asarray(sess2.kvs.block_k)[0, :, 0]
+    # block_k layout: (L, B, Hkv, Nb, S, D) — select layer 0, block idx
+    blk1 = np.asarray(sess.kvs.block_k)[0][:, :, 1]
+    blk2 = np.asarray(sess2.kvs.block_k)[0][:, :, 0]
     np.testing.assert_allclose(blk1, blk2, rtol=1e-5, atol=1e-5)
 
     # and with the cacher ON, chunk 1 takes the cached path -> its vision
@@ -75,7 +76,7 @@ def test_cacher_off_matches_reference_none_strategy():
     sess3.encode_init_prompt([1, 2, 3, 4])
     sess3.encode_video(frames[0:1])
     sess3.encode_video(frames[1:2])
-    blk3 = np.asarray(sess3.kvs.block_k)[0, :, 1]
+    blk3 = np.asarray(sess3.kvs.block_k)[0][:, :, 1]
     assert not np.allclose(blk3, blk1, rtol=1e-5, atol=1e-5)
 
 
@@ -85,5 +86,5 @@ def test_clear_cache_resets_vision_state():
     sess.encode_init_prompt([1, 2, 3, 4])
     sess.encode_video(rng.uniform(0, 255, (2, 56, 56, 3)).astype(np.uint8))
     sess.clear_cache()
-    assert sess.frame_encoder.chunk_idx == 0
+    assert sess.chunk_idx == 0
     assert int(np.asarray(sess.kvs.length).max()) == 0

@@ -15,7 +15,7 @@ from stc_tpu.models import qwen2 as qw
 from stc_tpu.models.convert import convert_qwen2, qwen2_config_from_hf
 
 REKV = ReKVConfig(n_init=4, n_local=256, block_size=8, exc_block_size=8,
-                  topk=4, chunk_size=1, max_blocks=32,
+                  topk=4, chunk_size=1, max_blocks=64,
                   max_prompt_tokens=32, max_new_tokens=8)
 
 

@@ -12,7 +12,7 @@ from stc_tpu.runtime.session import StreamingSession
 def make_session(seed=0):
     mcfg = qw.Qwen2Config.tiny()
     rekv = ReKVConfig(n_init=6, n_local=512, block_size=8, exc_block_size=8,
-                      topk=4, chunk_size=1, max_blocks=64,
+                      topk=4, chunk_size=1, max_blocks=128,
                       max_prompt_tokens=64, max_new_tokens=16)
     scfg = SessionConfig(rekv=rekv)
     params = qw.init_params(mcfg, jax.random.key(seed))

@@ -157,7 +157,7 @@ def test_frame_encoder_pipeline():
     cfg = lo.LlavaOVConfig.tiny()
     scfg = SessionConfig(
         rekv=ReKVConfig(n_init=4, n_local=256, block_size=3, exc_block_size=3,
-                        topk=4, max_blocks=32, max_prompt_tokens=16,
+                        topk=4, max_blocks=128, max_prompt_tokens=16,
                         max_new_tokens=4),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
                             cache_interval=2),
