@@ -1,0 +1,87 @@
+"""Distributed eval runner — data-parallel over JAX processes.
+
+Equivalent of reference model/video_qa/run_distributed.py (torchrun+gloo):
+annotations are strided across processes (anno[rank::world], reference
+utils/data_utils.py:34), each process runs its solver shard and writes a
+per-rank JSON; rank 0 merges and scores.  Gathering goes through the shared
+filesystem instead of gloo gather_object — no collective needed for an
+embarrassingly-parallel eval, and partially-finished ranks can be re-merged
+(crash-resumable at the rank level, like the reference's temp-file merge in
+streamingbench/src/eval.py:18-41).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, List, Optional
+
+from stc_tpu.eval.datasets import DATASETS
+from stc_tpu.eval.scorers import multiple_choice_accuracy
+from stc_tpu.eval.solvers import create_solver
+
+
+def load_and_split_anno(anno_path: str, rank: int, world: int) -> List[dict]:
+    with open(anno_path) as f:
+        anno = json.load(f)
+    return anno[rank::world]
+
+
+def run_eval(
+    dataset: str,
+    model,
+    save_dir: str,
+    *,
+    anno_path: Optional[str] = None,
+    sample_fps: float = 0.5,
+    rank: Optional[int] = None,
+    world: Optional[int] = None,
+    frame_loader: Optional[Callable] = None,
+    max_samples: Optional[int] = None,
+):
+    """Run one dataset shard; returns (rows, rank_file)."""
+    import jax
+    rank = jax.process_index() if rank is None else rank
+    world = jax.process_count() if world is None else world
+
+    ds = DATASETS[dataset]
+    anno = load_and_split_anno(anno_path or ds.anno_path, rank, world)
+    if max_samples is not None:
+        anno = anno[:max_samples]
+
+    solver = create_solver(ds.solver, model, sample_fps, frame_loader)
+    os.makedirs(save_dir, exist_ok=True)
+    rank_file = os.path.join(save_dir, f"results_rank{rank}.json")
+
+    done = 0
+    for i, sample in enumerate(anno):
+        try:
+            solver(sample)
+            done += 1
+        except Exception as e:  # error row + continue, like the reference
+            solver.results.append({
+                "video_id": sample.get("video_id"), "error": str(e)})
+        # incremental dump -> crash-resumable at sample granularity
+        with open(rank_file, "w") as f:
+            json.dump(solver.results, f)
+    return solver.results, rank_file
+
+
+def merge_and_score(save_dir: str, dataset: str):
+    """Rank-0 merge of all per-rank files + scoring."""
+    rows: List[dict] = []
+    for name in sorted(os.listdir(save_dir)):
+        if name.startswith("results_rank") and name.endswith(".json"):
+            with open(os.path.join(save_dir, name)) as f:
+                rows.extend(json.load(f))
+    ds = DATASETS[dataset]
+    scored = None
+    if ds.scorer == "multiple_choice":
+        scored = multiple_choice_accuracy(
+            [r for r in rows if "pred_choice" in r])
+    out = {"dataset": dataset, "n_rows": len(rows), "score": scored,
+           "ts": time.time()}
+    with open(os.path.join(save_dir, "merged_score.json"), "w") as f:
+        json.dump({**out, "rows": rows}, f)
+    return out

@@ -1,0 +1,171 @@
+"""VQA solvers — offline, VideoMME-instrumented, and streaming.
+
+Equivalents of reference model/video_qa/{base,rekv_offline,videomme,
+rekv_stream}_refactored.py.  Solvers consume the string-level model adapter
+(runtime/adapter.py) and annotation dicts; video IO is pluggable (decord when
+available, else a caller-provided frame loader), so the solver logic is
+testable without video files.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+CHOICE_LETTERS = ["A", "B", "C", "D", "E", "F", "G", "H"]
+
+
+def load_video_frames(video_path: str, sample_fps: float = 1.0) -> np.ndarray:
+    """Decode frames at sample_fps (reference base_refactored.py:27-33)."""
+    if video_path.endswith(".npy"):
+        video = np.load(video_path)
+        if sample_fps < 1:
+            idx = np.linspace(0, len(video) - 1, int(len(video) * sample_fps),
+                              dtype=int)
+            video = video[idx]
+        return video
+    from decord import VideoReader, cpu  # optional C++ decoder
+    vr = VideoReader(video_path, ctx=cpu(0))
+    fps = round(vr.get_avg_fps())
+    idx = list(range(0, len(vr), max(1, int(fps / sample_fps))))
+    return vr.get_batch(idx).asnumpy()
+
+
+class BaseVQA:
+    def __init__(self, model, sample_fps: float = 0.5,
+                 frame_loader: Optional[Callable] = None):
+        self.model = model
+        self.sample_fps = sample_fps
+        self.frame_loader = frame_loader or load_video_frames
+        self.results: List[dict] = []
+
+    def __call__(self, sample: dict) -> List[dict]:
+        frames = self.frame_loader(sample["video_path"], self.sample_fps)
+        self.encode_video(frames)
+        return self.answer_questions(sample)
+
+    def encode_video(self, frames):
+        self.model.clear_cache()
+        self.model.encode_init_prompt()
+        self.model.encode_video(frames)
+
+    def answer_questions(self, sample: dict) -> List[dict]:
+        out = []
+        for qa in sample["conversations"]:
+            r = self.answer_single(qa, sample["video_id"])
+            out.append(r)
+            self.results.append(r)
+        return out
+
+    def answer_single(self, qa: dict, video_id) -> dict:
+        if "choices" in qa:
+            return self._mc_qa(qa, video_id)
+        return self._open_qa(qa, video_id)
+
+    # -- prompts (reference base_refactored.py:66-80) --
+    def format_mcqa_prompt(self, question: str, choices: List[str]) -> str:
+        opts = "\n".join(f"({CHOICE_LETTERS[i]}) {c}"
+                         for i, c in enumerate(choices))
+        q = (f"Question: {question}\nOptions:\n{opts}\n"
+             "Only give the best option.")
+        return self.model.get_prompt(q, mc=True)
+
+    def format_openqa_prompt(self, question: str) -> str:
+        return self.model.get_prompt(question)
+
+    # -- answering --
+    def _open_qa(self, qa, video_id):
+        question = qa["question"]
+        pred = self.model.question_answering(
+            {"question": question,
+             "prompt": self.format_openqa_prompt(question)},
+            max_new_tokens=1024)
+        return {"video_id": video_id, "question": question,
+                "answer": qa.get("answer"),
+                "pred_answer": pred.replace("\n", "")}
+
+    def _mc_qa(self, qa, video_id):
+        from stc_tpu.eval.scorers import extract_choice
+        question, choices = qa["question"], qa["choices"]
+        pred = self.model.question_answering(
+            {"question": question,
+             "prompt": self.format_mcqa_prompt(question, choices)},
+            max_new_tokens=16)
+        pred_choice = extract_choice(pred)
+        correct = self._correct_choice(qa)
+        return {"video_id": video_id, "question": question,
+                "choices": choices, "answer": qa.get("answer"),
+                "correct_choice": correct,
+                "pred_answer": pred.replace("\n", ""),
+                "pred_choice": pred_choice,
+                "qa_acc": float(pred_choice == correct) * 100}
+
+    def _correct_choice(self, qa) -> str:
+        answer = qa.get("answer")
+        if answer is None:
+            return CHOICE_LETTERS[0]
+        try:
+            return CHOICE_LETTERS[qa["choices"].index(answer)]
+        except ValueError:
+            return CHOICE_LETTERS[0]
+
+
+class OfflineVQA(BaseVQA):
+    """Whole video encoded once, then all questions (rekv_offline)."""
+
+
+class VideoMMEVQA(BaseVQA):
+    """Offline solver with per-video encode timing + KV memory stats
+    (reference videomme_refactored.py:20-44)."""
+
+    def __call__(self, sample):
+        frames = self.frame_loader(sample["video_path"], self.sample_fps)
+        t0 = time.perf_counter()
+        self.encode_video(frames)
+        encode_s = time.perf_counter() - t0
+        rows = self.answer_questions(sample)
+        for r in rows:
+            r["encode_time_s"] = round(encode_s, 3)
+            r["kv_memory_gb"] = round(
+                self.model.calc_memory_usage() / 1024 ** 3, 3)
+        return rows
+
+
+class StreamVQA(BaseVQA):
+    """Incremental encoding by QA temporal windows (rekv_stream_refactored):
+    frames are fed up to each question's end_time before answering — one
+    session per video, stream continues across questions."""
+
+    def __call__(self, sample):
+        frames = self.frame_loader(sample["video_path"], self.sample_fps)
+        self.model.clear_cache()
+        self.model.encode_init_prompt()
+
+        fed = 0
+        out = []
+        for qa in sample["conversations"]:
+            end_t = qa.get("end_time", None)
+            end_idx = (len(frames) if end_t is None
+                       else min(len(frames), int(end_t * self.sample_fps)))
+            if end_idx > fed:
+                self.model.encode_video(frames[fed:end_idx])
+                fed = end_idx
+            r = self._open_qa(qa, sample["video_id"])
+            out.append(r)
+            self.results.append(r)
+        return out
+
+
+SOLVERS: Dict[str, type] = {
+    "offline": OfflineVQA,
+    "videomme": VideoMMEVQA,
+    "stream": StreamVQA,
+}
+
+
+def create_solver(name: str, model, sample_fps: float = 0.5,
+                  frame_loader=None) -> BaseVQA:
+    cls = SOLVERS.get(name, OfflineVQA)  # reference factory falls back too
+    return cls(model, sample_fps, frame_loader)

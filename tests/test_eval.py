@@ -1,0 +1,238 @@
+"""Eval layer: scorers vs reference golden files, solver/runner/harness
+protocol tests with a fake model."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stc_tpu.eval.ovobench import OVOBenchEval, build_prompt, split_contiguous
+from stc_tpu.eval.runner import merge_and_score, run_eval
+from stc_tpu.eval.scorers import (extract_choice, multiple_choice_accuracy,
+                                  ovobench_score, streamingbench_score)
+from stc_tpu.eval.solvers import OfflineVQA, StreamVQA, create_solver
+from stc_tpu.eval.streamingbench import StreamingBenchEval, parse_timestamp
+
+REF = "/root/reference/model/online_bench_inference"
+
+
+class FakeModel:
+    """Answers every MC question with 'A'; records calls."""
+
+    def __init__(self, answer="A"):
+        self.answer = answer
+        self.calls = []
+        self.encoded_frames = 0
+
+    def get_prompt(self, q, mc=False):
+        return q + ("(" if mc else "")
+
+    def clear_cache(self):
+        self.calls.append("clear")
+
+    def encode_init_prompt(self):
+        self.calls.append("init")
+
+    def encode_video(self, frames):
+        self.encoded_frames += len(frames)
+        self.calls.append(f"video:{len(frames)}")
+
+    def question_answering(self, input_text, max_new_tokens=128):
+        self.calls.append("qa")
+        return f"{self.answer}) something"
+
+    def calc_memory_usage(self):
+        return 123
+
+
+def fake_frames(path, fps):
+    return np.zeros((10, 8, 8, 3), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Scorers
+# ---------------------------------------------------------------------------
+
+def test_extract_choice():
+    assert extract_choice("A) because") == "A"
+    assert extract_choice("(B) text") == "B"
+    assert extract_choice("C") == "C"
+    assert extract_choice("") == "A"
+
+
+def test_multiple_choice_accuracy():
+    rows = [{"pred_choice": "A", "correct_choice": "A"},
+            {"pred_choice": "B", "correct_choice": "A"}]
+    assert multiple_choice_accuracy(rows)["accuracy"] == 50.0
+
+
+def test_streamingbench_scorer_rules():
+    data = [{"questions": [
+        {"task_type": "t1", "answer": "A", "m": "A"},
+        {"task_type": "t1", "answer": "B", "m": " B "},   # stripped
+        {"task_type": "t2", "answer": "C", "m": ["C", "x"]},  # list -> first
+        {"task_type": "t2", "answer": "C", "m": "D"},
+        {"task_type": "t2", "answer": "C"},               # missing -> skipped
+    ]}]
+    s = streamingbench_score(data, "m")
+    assert s["t1"]["accuracy"] == 100.0
+    assert s["t2"]["accuracy"] == 50.0
+    assert s["total"]["total"] == 4
+
+
+def test_ovobench_scorer_rules():
+    results = {
+        "backward": [
+            {"task": "EPM", "response": "A", "ground_truth": "A"},
+            {"task": "EPM", "response": "the answer is B", "ground_truth": "B"},
+            {"task": "EPM", "response": "C", "ground_truth": "A"},
+        ],
+        "realtime": [],
+        "forward": [
+            {"task": "REC", "test_info": [
+                {"response": "3 times", "count": 3},
+                {"response": "twelve", "count": 12}]},
+            {"task": "SSR", "test_info": [
+                {"response": "N", "type": 0},
+                {"response": "Yes", "type": 1},
+                {"response": "No", "type": 1}]},
+        ],
+    }
+    s = ovobench_score(results)
+    assert abs(s["backward"]["tasks"]["EPM"] - 200 / 3) < 1e-6
+    assert s["forward"]["tasks"]["REC"] == 50.0
+    assert abs(s["forward"]["tasks"]["SSR"] - 200 / 3) < 1e-6
+    # empty realtime group must not crash (reference bug fixed)
+    assert "realtime" not in s
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_streamingbench_scorer_matches_reference_golden():
+    """Re-score the reference's shipped full-KV run: 63.68% overall
+    (BASELINE.md)."""
+    path = f"{REF}/streamingbench/src/data/real_output_rekv.json"
+    if not os.path.exists(path):
+        pytest.skip("golden file missing")
+    with open(path) as f:
+        data = json.load(f)
+    s = streamingbench_score(data, "rekv")
+    assert s["total"]["total"] == 2500
+    assert abs(s["total"]["accuracy"] - 63.68) < 0.01
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_streamingbench_scorer_matches_reference_stc_golden():
+    path = (f"{REF}/streamingbench/src/data/"
+            "real_cacher_and_pruner_output_rekv_20251113_182443.json")
+    if not os.path.exists(path):
+        pytest.skip("golden file missing")
+    with open(path) as f:
+        data = json.load(f)
+    s = streamingbench_score(data, "rekv")
+    assert abs(s["total"]["accuracy"] - 65.17) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Solvers + runner
+# ---------------------------------------------------------------------------
+
+SAMPLE = {
+    "video_id": "v0", "video_path": "fake.mp4", "duration": 10,
+    "conversations": [
+        {"question": "q1", "choices": ["x", "y"], "answer": "x"},
+        {"question": "q2", "choices": ["x", "y"], "answer": "y"},
+        {"question": "q3"},
+    ],
+}
+
+
+def test_offline_solver_flow():
+    m = FakeModel()
+    s = OfflineVQA(m, frame_loader=fake_frames)
+    rows = s(SAMPLE)
+    assert [r.get("qa_acc") for r in rows[:2]] == [100.0, 0.0]
+    assert "pred_answer" in rows[2] and "qa_acc" not in rows[2]
+    assert m.calls[:2] == ["clear", "init"]
+
+
+def test_stream_solver_incremental_windows():
+    m = FakeModel()
+    s = StreamVQA(m, sample_fps=1.0, frame_loader=fake_frames)
+    sample = {
+        "video_id": "v", "video_path": "fake.mp4",
+        "conversations": [
+            {"question": "a", "end_time": 3},
+            {"question": "b", "end_time": 7},
+            {"question": "c"},
+        ],
+    }
+    s(sample)
+    feeds = [c for c in m.calls if c.startswith("video:")]
+    assert feeds == ["video:3", "video:4", "video:3"]  # incremental windows
+
+
+def test_runner_shard_merge(tmp_path):
+    anno = [dict(SAMPLE, video_id=f"v{i}") for i in range(5)]
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(anno))
+    for rank in range(2):
+        run_eval("mlvu", FakeModel(), str(tmp_path),
+                 anno_path=str(anno_path), rank=rank, world=2,
+                 frame_loader=fake_frames)
+    out = merge_and_score(str(tmp_path), "mlvu")
+    assert out["n_rows"] == 5 * 3
+    assert out["score"]["n"] == 10  # MC rows only
+    assert out["score"]["accuracy"] == 50.0  # A always; answers alternate x/y
+
+
+# ---------------------------------------------------------------------------
+# StreamingBench / OVO-Bench protocol
+# ---------------------------------------------------------------------------
+
+def test_streamingbench_protocol(tmp_path):
+    m = FakeModel()
+    data = [{"video_path": "x.mp4", "questions": [
+        {"time_stamp": "00:00:10", "question": "q", "options": ["A. a"],
+         "answer": "A", "task_type": "t"},
+        {"time_stamp": "00:01:00", "question": "q2", "options": ["A. a"],
+         "answer": "B", "task_type": "t", "m": "B"},  # already answered
+    ]}]
+
+    def loader(path, t0, t1, fps):
+        return np.zeros((t1 - t0, 4, 4, 3), np.uint8)
+
+    ev = StreamingBenchEval(m, "m", frame_loader=loader)
+    out = ev.run(data, str(tmp_path / "out.json"))
+    assert out[0]["questions"][0]["m"] == "A"
+    assert out[0]["questions"][1]["m"] == "B"       # untouched (resume)
+    assert m.encoded_frames == 10                   # only the first question
+    s = streamingbench_score(out, "m")
+    assert s["total"]["correct"] == 2
+    assert parse_timestamp("01:02:03") == 3723
+
+
+def test_ovobench_protocol(tmp_path):
+    m = FakeModel(answer="A")
+    anno = {
+        "backward": [{"id": "1", "video": "v.mp4", "task": "EPM",
+                      "question": "q", "options": ["x", "y"], "gt": 0,
+                      "realtime": 5}],
+        "realtime": [],
+        "forward": [{"id": "2", "video": "v2.mp4", "task": "SSR",
+                     "question": None,
+                     "test_info": [{"step": "chop", "type": 1,
+                                    "realtime": 3}]}],
+    }
+
+    def loader(ref, t, fps):
+        return np.zeros((3, 4, 4, 3), np.uint8)
+
+    ev = OVOBenchEval(m, frame_loader=loader)
+    res = ev.eval(anno, str(tmp_path / "ovo.json"))
+    assert res["backward"][0]["response"].startswith("A")
+    assert res["backward"][0]["ground_truth"] == "A"
+    s = ovobench_score(res)
+    assert s["backward"]["tasks"]["EPM"] == 100.0
+    assert "A. x; B. y;" in build_prompt("EPM", "q", ["x", "y"])
+    assert split_contiguous(list(range(10)), 1, 3) == [4, 5, 6]
