@@ -104,15 +104,20 @@ class RopeCache(NamedTuple):
 
 def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
                     cfg: ReKVConfig, head_dim: int,
-                    rope_base: float) -> RopeCache:
+                    rope_base: float, n_pages: int | None = None) -> RopeCache:
     """Everything position-dependent for one streaming append of T tokens.
 
     length/num_blocks: (B,) state BEFORE the append.  The current block is
     included in the window (it is written before attention).
+
+    n_pages: optional static window-size bucket (< n_window_pages) — correct
+    whenever the stream holds at most n_pages pages; the session picks the
+    bucket from its host-side chunk counter so early-stream attention scales
+    with the ACTUAL stream length instead of the window capacity.
     """
     B = length.shape[0]
     S = cfg.block_size
-    W = n_window_pages(cfg)
+    W = n_pages if n_pages is not None else n_window_pages(cfg)
     Nb = cfg.max_blocks
 
     rel_q = cfg.n_local + jnp.arange(T, dtype=jnp.int32)
@@ -193,6 +198,7 @@ def append_stream(
     rope_base: float = 10000.0,
     rope_cache: Optional[RopeCache] = None,
     backend: str = "jnp",   # 'jnp' | 'pallas' | 'pallas_interpret'
+    win_pages: int | None = None,  # static window bucket (see make_rope_cache)
 ) -> Tuple[jax.Array, StreamKV]:
     """One streaming append of T tokens; returns (attn_out, new_state).
 
@@ -227,7 +233,7 @@ def append_stream(
 
     assert T == S, (T, S)
     rc = rope_cache if rope_cache is not None else make_rope_cache(
-        kv.length, kv.num_blocks, T, cfg, D, rope_base)
+        kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages)
 
     # ---- page write (before attention: queries must see themselves) ----
     # the store is append-only: slot == absolute block index, so the local

@@ -47,16 +47,21 @@ def convert_qwen2(state: Dict[str, Any], cfg: Qwen2Config,
         "ln1": stack(prefix + "layers.{i}.input_layernorm.weight"),
         "ln2": stack(prefix + "layers.{i}.post_attention_layernorm.weight"),
         "wq": stack(prefix + "layers.{i}.self_attn.q_proj.weight", True),
-        "bq": stack(prefix + "layers.{i}.self_attn.q_proj.bias"),
         "wk": stack(prefix + "layers.{i}.self_attn.k_proj.weight", True),
-        "bk": stack(prefix + "layers.{i}.self_attn.k_proj.bias"),
         "wv": stack(prefix + "layers.{i}.self_attn.v_proj.weight", True),
-        "bv": stack(prefix + "layers.{i}.self_attn.v_proj.bias"),
         "wo": stack(prefix + "layers.{i}.self_attn.o_proj.weight", True),
         "w_gate": stack(prefix + "layers.{i}.mlp.gate_proj.weight", True),
         "w_up": stack(prefix + "layers.{i}.mlp.up_proj.weight", True),
         "w_down": stack(prefix + "layers.{i}.mlp.down_proj.weight", True),
     }
+    # qkv biases: present for Qwen2, absent for Llama/Mistral (use zeros)
+    for name, wkey in (("q", "wq"), ("k", "wk"), ("v", "wv")):
+        bias_name = prefix + f"layers.{{i}}.self_attn.{name}_proj.bias"
+        if bias_name.format(i=0) in state:
+            lp["b" + name] = stack(bias_name)
+        else:
+            lp["b" + name] = jnp.zeros(
+                (L, lp[wkey].shape[-1]), dtype)
     embed = jnp.asarray(get(prefix + "embed_tokens.weight"), dtype)
     if cfg.tie_embeddings or (prefix[:-len("model.")] + "lm_head.weight") not in state:
         lm_head = embed.T

@@ -26,6 +26,7 @@ from stc_tpu.models import register_model
 from stc_tpu.models import qwen2 as qw
 from stc_tpu.models import siglip as sg
 from stc_tpu.runtime.session import StreamingSession
+from stc_tpu.runtime.vlm import VLMSession
 
 # SigLIP image preprocessing constants (HF SiglipImageProcessor defaults)
 IMAGE_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
@@ -159,24 +160,16 @@ class FrameEncoder:
 # Assembly
 # ---------------------------------------------------------------------------
 
-class LlavaOVSession(StreamingSession):
-    """Streaming session with the whole per-frame step fused into ONE jit
-    call (vision tower + projector + pooling + pruner + LM prefill) — a
-    single device dispatch per frame instead of the reference's
-    per-module python round trips."""
+class LlavaOVVision:
+    """llava-ov vision strategy: SigLIP(+STC-Cacher) -> projector -> 2x
+    bilinear pooling -> STC-Pruner."""
 
-    def __init__(self, params: Dict[str, Any], cfg: LlavaOVConfig,
-                 scfg: SessionConfig, state_dtype=jnp.bfloat16,
-                 vision_dtype=jnp.float32):
-        import functools
-
-        self._all_params = params
-        self.ovcfg = cfg
-        self._vdtype = vision_dtype
-        super().__init__(params["text"], cfg.text, scfg,
-                         state_dtype=state_dtype)
+    def __init__(self, cfg: LlavaOVConfig, scfg: SessionConfig,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.scfg = scfg
+        self.dtype = dtype
         vc = cfg.vision
-        rekv = scfg.rekv
 
         def _pre(frames_u8):
             x = frames_u8.astype(jnp.float32) / 255.0
@@ -186,74 +179,52 @@ class LlavaOVSession(StreamingSession):
                     x, (x.shape[0], vc.image_size, vc.image_size, 3),
                     "bilinear")
             x = (x - IMAGE_MEAN) / IMAGE_STD
-            return x.transpose(0, 3, 1, 2).astype(vision_dtype)
+            return x.transpose(0, 3, 1, 2).astype(dtype)
 
         self._pre = jax.jit(_pre)
 
-        def _frame(params, pixels, kvs, cacher, pstate, *, cached):
-            if cached:
-                feats = sg.encode_cached(params["vision"], vc, pixels, cacher,
-                                         scfg.cacher.update_token_ratio)
-            else:
-                feats, cacher = sg.encode_full(params["vision"], vc, pixels,
-                                               cacher)
-            feats = project(params["projector"], feats)
-            feats = apply_pooling(feats, vc.grid)
-            if scfg.pruner.enabled:
-                pruned, _, pstate = stc_prune(
-                    feats[None], pstate,
-                    keep_per_frame=scfg.pruner.token_per_frame,
-                    channel_keep_ratio=scfg.pruner.channel_keep_ratio)
-                _, F_, K, E = pruned.shape
-                flat = pruned.reshape(1, F_ * K, E)
-            else:
-                flat = feats.reshape(1, -1, feats.shape[-1])
-            S = rekv.block_size
-            for i in range(flat.shape[1] // S):
-                _, kvs = qw.encode_step(params["text"], cfg.text, rekv, kvs,
-                                        flat[:, i * S:(i + 1) * S],
-                                        is_init=False,
-                                        attn_backend=self.attn_backend)
-            return kvs, cacher, pstate
+    def init_state(self):
+        return (sg.init_cacher_state(self.cfg.vision, 1, self.dtype),
+                init_pruner_state(
+                    1, int(self.cfg.text.hidden_size
+                           * self.scfg.pruner.channel_keep_ratio)))
 
-        self._frame_full = jax.jit(
-            functools.partial(_frame, cached=False),
-            donate_argnames=("kvs", "cacher"))
-        self._frame_cached = jax.jit(
-            functools.partial(_frame, cached=True), donate_argnames=("kvs",))
-        self._reset_vision()
+    def preprocess(self, frames):
+        return self._pre(jnp.asarray(np.asarray(frames)))
 
-    def _reset_vision(self):
-        vc = self.ovcfg.vision
-        self.chunk_idx = 0
-        self._cacher = sg.init_cacher_state(vc, 1, self._vdtype)
-        self._pstate = init_pruner_state(
-            1, int(self.ovcfg.text.hidden_size
-                   * self.scfg.pruner.channel_keep_ratio))
+    def _post(self, params, feats, pstate):
+        feats = project(params["projector"], feats)
+        feats = apply_pooling(feats, self.cfg.vision.grid)
+        if self.scfg.pruner.enabled:
+            pruned, _, pstate = stc_prune(
+                feats[None], pstate,
+                keep_per_frame=self.scfg.pruner.token_per_frame,
+                channel_keep_ratio=self.scfg.pruner.channel_keep_ratio)
+            _, F_, K, E = pruned.shape
+            return pruned.reshape(1, F_ * K, E), pstate
+        return feats.reshape(1, -1, feats.shape[-1]), pstate
 
-    def clear_cache(self):
-        super().clear_cache()
-        if hasattr(self, "_all_params"):
-            self._reset_vision()
+    def full(self, params, pixels, vstate, pstate):
+        feats, vstate = sg.encode_full(params["vision"], self.cfg.vision,
+                                       pixels, vstate)
+        flat, pstate = self._post(params, feats, pstate)
+        return flat, vstate, pstate
 
-    def encode_video(self, frames):
-        """frames: (n_frames, H, W, 3) uint8; chunked by encode_chunk_frames."""
-        frames = np.asarray(frames)
-        n = self.scfg.encode_chunk_frames
-        for s in range(0, frames.shape[0], n):
-            pixels = self._pre(jnp.asarray(frames[s:s + n]))
-            use_cached = (self.scfg.cacher.enabled
-                          and self.chunk_idx % self.scfg.cacher.cache_interval
-                          != 0)
-            if use_cached:
-                self.kvs, _, self._pstate = self._frame_cached(
-                    self._all_params, pixels, kvs=self.kvs,
-                    cacher=self._cacher, pstate=self._pstate)
-            else:
-                self.kvs, self._cacher, self._pstate = self._frame_full(
-                    self._all_params, pixels, kvs=self.kvs,
-                    cacher=self._cacher, pstate=self._pstate)
-            self.chunk_idx += 1
+    def cached(self, params, pixels, vstate, pstate):
+        feats = sg.encode_cached(params["vision"], self.cfg.vision, pixels,
+                                 vstate, self.scfg.cacher.update_token_ratio)
+        flat, pstate = self._post(params, feats, pstate)
+        return flat, vstate, pstate
+
+
+class LlavaOVSession(VLMSession):
+    def __init__(self, params: Dict[str, Any], cfg: LlavaOVConfig,
+                 scfg: SessionConfig, state_dtype=jnp.bfloat16,
+                 vision_dtype=jnp.float32):
+        self.ovcfg = cfg
+        super().__init__(params, cfg.text, scfg,
+                         LlavaOVVision(cfg, scfg, vision_dtype),
+                         state_dtype=state_dtype)
 
 
 def build_session(params: Dict[str, Any], cfg: LlavaOVConfig,

@@ -47,6 +47,7 @@ class Qwen2Config:
     rope_base: float = 1000000.0
     rms_eps: float = 1e-6
     tie_embeddings: bool = False
+    qkv_bias: bool = True   # Qwen2 yes; Llama/Mistral no (zeros are a no-op)
 
     @classmethod
     def tiny(cls, vocab=256):
@@ -142,7 +143,8 @@ def _mlp(lp, h, cfg: Qwen2Config):
 
 def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
                 kvs: StreamKV, embeds: jax.Array, *, is_init: bool,
-                attn_backend: str = "jnp") -> Tuple[jax.Array, StreamKV]:
+                attn_backend: str = "jnp",
+                win_pages: int | None = None) -> Tuple[jax.Array, StreamKV]:
     """One streaming append of T tokens through all layers.
 
     embeds: (B, T, E).  Returns (final hidden states, new stacked StreamKV).
@@ -155,7 +157,7 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         from stc_tpu.kvcache.engine import make_rope_cache
         rc = make_rope_cache(kvs.length[0], kvs.num_blocks[0],
                              embeds.shape[1], rekv, cfg.head_dim,
-                             cfg.rope_base)
+                             cfg.rope_base, n_pages=win_pages)
 
     def body(h, xs):
         lp, kv = xs

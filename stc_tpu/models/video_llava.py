@@ -1,0 +1,136 @@
+"""Video-LLaVA-7B + ReKV backbone.
+
+TPU-native equivalent of reference model/video_llava_rekv.py: LanguageBind
+video tower (CLIP-L/14-224-style per-frame encoding, 256 patches + CLS = 257
+tokens/frame, CLS KEPT — video_llava_rekv.py:119) -> projector -> streaming
+Vicuna (Llama) LM.  No STC cacher/pruner in the reference path; topk=8,
+block_size=257, 8-frame encode chunks (video_llava_rekv.py:41,117-129).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stc_tpu.config import (CacherConfig, PrunerConfig, ReKVConfig,
+                            SessionConfig)
+from stc_tpu.models import clip as cl
+from stc_tpu.models import qwen2 as qw
+from stc_tpu.models import register_model
+from stc_tpu.models.longva import CLIP_MEAN, CLIP_STD
+from stc_tpu.runtime.vlm import VisionPipeline, VLMSession
+
+
+def llama7b_config(vocab_size: int = 32000) -> qw.Qwen2Config:
+    """Vicuna-7B dims; Llama has no qkv biases (zeros in our layout)."""
+    return qw.Qwen2Config(
+        vocab_size=vocab_size, hidden_size=4096, num_layers=32,
+        num_heads=32, num_kv_heads=32, head_dim=128,
+        intermediate_size=11008, rope_base=10000.0, qkv_bias=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoLlavaConfig:
+    vision: cl.CLIPConfig = dataclasses.field(
+        default_factory=lambda: cl.CLIPConfig(image_size=224))
+    text: qw.Qwen2Config = dataclasses.field(default_factory=llama7b_config)
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.vision.num_tokens  # 257 (CLS kept)
+
+    @classmethod
+    def tiny(cls):
+        return cls(vision=cl.CLIPConfig.tiny(),
+                   text=dataclasses.replace(qw.Qwen2Config.tiny(),
+                                            qkv_bias=False))
+
+
+def default_session_config(cfg: VideoLlavaConfig,
+                           n_local: int = 8000) -> SessionConfig:
+    tpf = cfg.tokens_per_frame
+    return SessionConfig(
+        rekv=ReKVConfig(n_init=14, n_local=n_local, block_size=tpf,
+                        exc_block_size=tpf, topk=8, chunk_size=1,
+                        max_blocks=128),
+        cacher=CacherConfig(strategy="none"),
+        pruner=PrunerConfig(strategy="none", token_per_frame=tpf),
+        encode_chunk_frames=8,
+    )
+
+
+class VideoLlavaVision(VisionPipeline):
+    def __init__(self, cfg: VideoLlavaConfig, scfg: SessionConfig,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.scfg = scfg
+        self.dtype = dtype
+        vc = cfg.vision
+
+        def _pre(frames_u8):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            if (frames_u8.shape[1] != vc.image_size
+                    or frames_u8.shape[2] != vc.image_size):
+                x = jax.image.resize(
+                    x, (x.shape[0], vc.image_size, vc.image_size, 3),
+                    "bilinear")
+            x = (x - CLIP_MEAN) / CLIP_STD
+            return x.transpose(0, 3, 1, 2).astype(dtype)
+
+        self._pre = jax.jit(_pre)
+
+    def init_state(self):
+        return cl.init_clip_cacher(self.cfg.vision, self.dtype), ()
+
+    def preprocess(self, frames):
+        return self._pre(jnp.asarray(np.asarray(frames)))
+
+    def _post(self, params, feats):
+        # CLS token is kept (257 tokens/frame)
+        p = params["projector"]
+        h = feats @ p["w1"] + p["b1"]
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ p["w2"] + p["b2"]
+        return h.reshape(1, -1, h.shape[-1])
+
+    def full(self, params, pixels, vstate, pstate):
+        feats, vstate = cl.encode_full(params["vision"], self.cfg.vision,
+                                       pixels, vstate, feature_layer=-2)
+        return self._post(params, feats), vstate, pstate
+
+    cached = full  # no cacher in the reference video_llava path
+
+
+class VideoLlavaSession(VLMSession):
+    def __init__(self, params, cfg: VideoLlavaConfig, scfg=None,
+                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32):
+        scfg = scfg or default_session_config(cfg)
+        super().__init__(params, cfg.text, scfg,
+                         VideoLlavaVision(cfg, scfg, vision_dtype),
+                         state_dtype=state_dtype)
+
+
+def init_random_params(cfg: VideoLlavaConfig, key, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    Cv, E = cfg.vision.hidden_size, cfg.text.hidden_size
+    s = 0.02
+    return {
+        "vision": cl.init_params(cfg.vision, k1, dtype),
+        "projector": {
+            "w1": (jax.random.normal(k3, (Cv, E)) * s).astype(dtype),
+            "b1": jnp.zeros((E,), dtype),
+            "w2": (jax.random.normal(k4, (E, E)) * s).astype(dtype),
+            "b2": jnp.zeros((E,), dtype),
+        },
+        "text": qw.init_params(cfg.text, k2, dtype),
+    }
+
+
+@register_model("video_llava_7b")
+def load_video_llava_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
+    raise NotImplementedError(
+        "Video-LLaVA checkpoint conversion requires local weights; use "
+        "VideoLlavaSession with init_random_params for shape-level work.")

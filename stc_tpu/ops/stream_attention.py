@@ -99,22 +99,35 @@ def _kernel(scal_ref,                       # (B, 4) int32 scalar prefetch
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     # ---- window tile: pages are consecutive, positions are affine ----
-    col = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 1)
-    page_idx = start_page + t_idx * ppt + col // S
-    pos = n_init + page_idx * S + col % S
-    dist = q_pos - pos
-    mask = (dist >= 0) & (dist < n_local) & (page_idx < total)
+    # tile-level skip: a tile contributes only if it holds at least one
+    # written page that falls inside the sliding window — early in a stream
+    # most of the (capacity-sized) window is empty and whole tiles skip
+    # (the flash-attention tile-skip trick applied to the streaming window)
+    p0 = start_page + t_idx * ppt
+    pos_min = n_init + p0 * S
+    pos_max = n_init + (p0 + ppt) * S - 1
+    tile_live = ((p0 < total)                       # at least one real page
+                 & ((L + Tp - 1) - pos_min >= 0)    # not entirely future
+                 & (L - pos_max < n_local))         # not entirely expired
 
-    D = q_rot_ref.shape[3]
-    k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
-    cos = cos_ref[0]
-    sin = sin_ref[0]
-    k_rot = (k * cos + _rot_half(k) * sin).astype(jnp.bfloat16)
-    q = q_rot_ref[0, 0].astype(jnp.bfloat16)
-    s = jax.lax.dot_general(q, k_rot, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    v_tile = v_pages_ref[0, 0].reshape(tile, D)
-    online_update(s, mask, v_tile)
+    @pl.when(tile_live)
+    def _window_tile():
+        col = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 1)
+        page_idx = p0 + col // S
+        pos = n_init + page_idx * S + col % S
+        dist = q_pos - pos
+        mask = (dist >= 0) & (dist < n_local) & (page_idx < total)
+
+        D = q_rot_ref.shape[3]
+        k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
+        cos = cos_ref[0]
+        sin = sin_ref[0]
+        k_rot = (k * cos + _rot_half(k) * sin).astype(jnp.bfloat16)
+        q = q_rot_ref[0, 0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(q, k_rot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        v_tile = v_pages_ref[0, 0].reshape(tile, v_pages_ref.shape[-1])
+        online_update(s, mask, v_tile)
 
     # ---- epilogue on the last window tile: init stages + finalize ----
     @pl.when(t_idx == n_tiles - 1)

@@ -1,0 +1,118 @@
+"""Generic vision-language streaming session.
+
+Generalizes the per-frame fused step over backbones: a VisionPipeline
+strategy supplies the tower paths (full / cacher-accelerated), and VLMSession
+fuses vision + LM prefill into ONE jitted device dispatch per chunk with
+donated state buffers.  Host-side chunk scheduling (chunk_idx %
+cache_interval) mirrors the reference's STC_CACHE.new_instance-per-chunk loop
+(abstract_rekv.py:55-69).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stc_tpu.config import SessionConfig
+from stc_tpu.models import qwen2 as qw
+from stc_tpu.runtime.session import StreamingSession
+
+
+class VisionPipeline:
+    """Backbone-specific vision stack: frames -> (1, F*block_size, E)."""
+
+    def init_state(self):
+        """-> (vision_state, pruner_state) pytrees."""
+        raise NotImplementedError
+
+    def preprocess(self, frames: np.ndarray) -> jax.Array:
+        raise NotImplementedError
+
+    def full(self, params, pixels, vstate, pstate):
+        """-> (flat_features, vstate, pstate)"""
+        raise NotImplementedError
+
+    def cached(self, params, pixels, vstate, pstate):
+        """-> (flat_features, vstate, pstate)"""
+        raise NotImplementedError
+
+
+class VLMSession(StreamingSession):
+    def __init__(self, params: Dict[str, Any], text_cfg, scfg: SessionConfig,
+                 vision: VisionPipeline, state_dtype=jnp.bfloat16):
+        self._all_params = params
+        self.vision = vision
+        super().__init__(params["text"], text_cfg, scfg,
+                         state_dtype=state_dtype)
+        rekv = scfg.rekv
+        from stc_tpu.kvcache.engine import n_window_pages
+        self._W = n_window_pages(rekv)
+
+        def _frame(params, pixels, kvs, vstate, pstate, *, cached, bucket):
+            path = vision.cached if cached else vision.full
+            flat, vstate, pstate = path(params, pixels, vstate, pstate)
+            S = rekv.block_size
+            assert flat.shape[1] % S == 0, (flat.shape, S)
+            # partial windows take the XLA path (cost scales with the bucket);
+            # the fused Pallas kernel wins only at full window on this
+            # platform (~1.1 ms fixed cost per pallas_call)
+            backend = (self.attn_backend if bucket >= self._W else
+                       ("jnp" if self.attn_backend == "pallas"
+                        else self.attn_backend))
+            for i in range(flat.shape[1] // S):
+                _, kvs = qw.encode_step(params["text"], text_cfg, rekv, kvs,
+                                        flat[:, i * S:(i + 1) * S],
+                                        is_init=False,
+                                        attn_backend=backend,
+                                        win_pages=bucket)
+            return kvs, vstate, pstate
+
+        self._frame_fn = _frame
+        self._frame_jits = {}
+        self._reset_vision()
+
+    def _get_frame_jit(self, cached: bool, bucket: int):
+        key = (cached, bucket)
+        if key not in self._frame_jits:
+            donate = ("kvs",) if cached else ("kvs", "vstate")
+            self._frame_jits[key] = jax.jit(
+                functools.partial(self._frame_fn, cached=cached,
+                                  bucket=bucket), donate_argnames=donate)
+        return self._frame_jits[key]
+
+    def _bucket(self, blocks_after: int) -> int:
+        b = 8
+        while b < min(blocks_after, self._W):
+            b *= 2
+        return min(b, self._W)
+
+    def _reset_vision(self):
+        self.chunk_idx = 0
+        self._blocks_host = 0
+        self._vstate, self._pstate = self.vision.init_state()
+
+    def clear_cache(self):
+        super().clear_cache()
+        if hasattr(self, "_all_params"):
+            self._reset_vision()
+
+    def encode_video(self, frames):
+        frames = np.asarray(frames)
+        n = self.scfg.encode_chunk_frames
+        for s in range(0, frames.shape[0], n):
+            chunk = frames[s:s + n]
+            pixels = self.vision.preprocess(chunk)
+            use_cached = (self.scfg.cacher.enabled
+                          and self.chunk_idx % self.scfg.cacher.cache_interval
+                          != 0)
+            bucket = self._bucket(self._blocks_host + len(chunk))
+            fn = self._get_frame_jit(use_cached, bucket)
+            self.kvs, self._vstate, self._pstate = fn(
+                self._all_params, pixels, kvs=self.kvs,
+                vstate=self._vstate, pstate=self._pstate)
+            self._blocks_host += len(chunk)
+            self.chunk_idx += 1

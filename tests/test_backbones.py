@@ -1,0 +1,198 @@
+"""LongVA / Video-LLaVA / Flash-VStream backbones: CLIP tower parity vs HF,
+MLP-skip cacher semantics, end-to-end tiny sessions."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stc_tpu.config import (CacherConfig, PrunerConfig, ReKVConfig,
+                            SessionConfig)
+from stc_tpu.models import clip as cl
+from stc_tpu.models import flash_vstream as fv
+from stc_tpu.models import longva as lv
+from stc_tpu.models import video_llava as vl
+
+
+# ---------------------------------------------------------------------------
+# CLIP tower vs HF
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hf_clip():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+    torch.manual_seed(0)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        hidden_act="quick_gelu")
+    model = CLIPVisionModel(hf_cfg).eval()
+    cfg = cl.CLIPConfig(hidden_size=32, num_layers=3, num_heads=4,
+                        intermediate_size=64, image_size=56, patch_size=14)
+
+    state = {k: v for k, v in model.state_dict().items()}
+    import numpy as _np
+
+    def t(name):
+        return state["vision_model." + name].float().numpy()
+
+    L = cfg.num_layers
+
+    def stack(fmt, transpose=False):
+        m = _np.stack([t(fmt.format(i=i)) for i in range(L)])
+        return jnp.asarray(m.transpose(0, 2, 1) if transpose else m)
+
+    params = {
+        "class_embed": jnp.asarray(t("embeddings.class_embedding")),
+        "patch_w": jnp.asarray(
+            t("embeddings.patch_embedding.weight").reshape(32, -1).T),
+        "pos_embed": jnp.asarray(t("embeddings.position_embedding.weight")),
+        "pre_ln_w": jnp.asarray(t("pre_layrnorm.weight")),
+        "pre_ln_b": jnp.asarray(t("pre_layrnorm.bias")),
+        "layers": {
+            "ln1_w": stack("encoder.layers.{i}.layer_norm1.weight"),
+            "ln1_b": stack("encoder.layers.{i}.layer_norm1.bias"),
+            "wq": stack("encoder.layers.{i}.self_attn.q_proj.weight", True),
+            "bq": stack("encoder.layers.{i}.self_attn.q_proj.bias"),
+            "wk": stack("encoder.layers.{i}.self_attn.k_proj.weight", True),
+            "bk": stack("encoder.layers.{i}.self_attn.k_proj.bias"),
+            "wv": stack("encoder.layers.{i}.self_attn.v_proj.weight", True),
+            "bv": stack("encoder.layers.{i}.self_attn.v_proj.bias"),
+            "wo": stack("encoder.layers.{i}.self_attn.out_proj.weight", True),
+            "bo": stack("encoder.layers.{i}.self_attn.out_proj.bias"),
+            "ln2_w": stack("encoder.layers.{i}.layer_norm2.weight"),
+            "ln2_b": stack("encoder.layers.{i}.layer_norm2.bias"),
+            "fc1": stack("encoder.layers.{i}.mlp.fc1.weight", True),
+            "fc1_b": stack("encoder.layers.{i}.mlp.fc1.bias"),
+            "fc2": stack("encoder.layers.{i}.mlp.fc2.weight", True),
+            "fc2_b": stack("encoder.layers.{i}.mlp.fc2.bias"),
+        },
+        "post_ln_w": jnp.asarray(t("post_layernorm.weight")),
+        "post_ln_b": jnp.asarray(t("post_layernorm.bias")),
+    }
+    return model, cfg, params
+
+
+def test_clip_tower_matches_hf(hf_clip):
+    import torch
+    model, cfg, params = hf_clip
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+
+    with torch.no_grad():
+        hs = model(torch.tensor(pixels), output_hidden_states=True)
+    want = hs.hidden_states[-2].numpy()  # feature_layer=-2 (LongVA select)
+
+    cacher = cl.init_clip_cacher(cfg)
+    got, _ = cl.encode_full(params, cfg, jnp.asarray(pixels), cacher,
+                            feature_layer=-2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+
+def test_clip_cacher_skip_zero_equals_full(hf_clip):
+    """skip_ratio=0 computes every token -> cached chunk == full chunk."""
+    _, cfg, params = hf_clip
+    rng = np.random.default_rng(1)
+    ref = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    new = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    cacher = cl.init_clip_cacher(cfg)
+    _, cacher = cl.encode_full(params, cfg, jnp.asarray(ref), cacher)
+    got, _ = cl.encode_cached(params, cfg, jnp.asarray(new), cacher,
+                              skip_ratio=0.0)
+    want, _ = cl.encode_full(params, cfg, jnp.asarray(new),
+                             cl.init_clip_cacher(cfg))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_clip_cacher_skips_identical_frames(hf_clip):
+    """An identical frame with skip_ratio ~1 reuses the reference MLP outputs
+    and stays close to the full computation."""
+    _, cfg, params = hf_clip
+    rng = np.random.default_rng(2)
+    frame = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    cacher = cl.init_clip_cacher(cfg)
+    full, cacher = cl.encode_full(params, cfg, jnp.asarray(frame), cacher)
+    cached, cacher2 = cl.encode_cached(params, cfg, jnp.asarray(frame),
+                                       cacher, skip_ratio=0.9)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full),
+                               rtol=1e-3, atol=1e-3)
+    stats = cl.cache_stats(cacher2)
+    assert stats["total_tokens_skipped"] > 0
+
+
+def test_layer_ratio_allocator():
+    r = cl.layer_ratios(4, 0.3, "uniform")
+    assert r == [0.3] * 4
+    r = cl.layer_ratios(4, 0.3, "linear_increasing")
+    assert abs(sum(r) / 4 - 0.3) < 1e-6
+    assert r[0] < r[-1]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end tiny sessions per backbone
+# ---------------------------------------------------------------------------
+
+def _session_cfg(tpf, n_local=256, chunk_frames=1, cacher="none"):
+    return SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=n_local, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=128,
+                        max_prompt_tokens=32, max_new_tokens=8),
+        cacher=CacherConfig(strategy=cacher, update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="none", token_per_frame=tpf),
+        encode_chunk_frames=chunk_frames,
+    )
+
+
+def _drive(sess, cfg_text_vocab=256, n_frames=4):
+    rng = np.random.default_rng(0)
+    sess.encode_init_prompt([1, 2, 3, 4])
+    frames = rng.uniform(0, 255, size=(n_frames, 56, 56, 3)).astype(np.uint8)
+    sess.encode_video(frames)
+    out = sess.question_answering([5, 6], [5, 6, 7], stop_token_ids=[0],
+                                  max_new_tokens=4)
+    assert 1 <= len(out) <= 4
+    return sess
+
+
+def test_longva_session():
+    cfg = lv.LongVAConfig.tiny()
+    tpf = cfg.tokens_per_frame  # grid 4 / stride 2 -> 4 tokens
+    scfg = _session_cfg(tpf, cacher="cacher")
+    params = lv.init_random_params(cfg, jax.random.key(0))
+    sess = lv.LongVASession(params, cfg, scfg, state_dtype=jnp.float32)
+    sess = _drive(sess)
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 4
+
+
+def test_video_llava_session_multiframe_chunks():
+    cfg = vl.VideoLlavaConfig.tiny()
+    tpf = cfg.tokens_per_frame  # 16 patches + CLS = 17
+    scfg = _session_cfg(tpf, chunk_frames=2)
+    params = vl.init_random_params(cfg, jax.random.key(1))
+    sess = vl.VideoLlavaSession(params, cfg, scfg, state_dtype=jnp.float32)
+    sess = _drive(sess)
+    # 4 frames in 2-frame chunks -> 4 blocks (one per frame), 2 dispatches
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 4
+    assert sess.chunk_idx == 2
+
+
+def test_flash_vstream_session():
+    cfg = fv.FlashVStreamConfig.tiny()
+    scfg = _session_cfg(cfg.tokens_per_frame)
+    params = fv.init_random_params(cfg, jax.random.key(2))
+    sess = fv.FlashVStreamSession(params, cfg, scfg, state_dtype=jnp.float32)
+    sess = _drive(sess)
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 4
+
+
+def test_model_registry():
+    from stc_tpu.models import MODEL_REGISTRY
+    import stc_tpu.models.llava_onevision  # noqa: F401
+    for name in ("llava_ov_7b", "longva_7b", "video_llava_7b",
+                 "flash_vstream_7b"):
+        assert name in MODEL_REGISTRY
