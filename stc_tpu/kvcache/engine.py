@@ -355,7 +355,8 @@ def _stream_attention(q_rot, q_one, k_init, v_init, m_init,
 # ---------------------------------------------------------------------------
 
 def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
-                    q_valid: jax.Array | None = None):
+                    q_valid: jax.Array | None = None,
+                    block_indices: jax.Array | None = None):
     """Query-conditioned top-k block retrieval.
 
     q: (B, Hq, Lq, D) UNROTATED question queries (the reference scores with
@@ -367,6 +368,10 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     reference's expanded flat dot), chunk-grouped top-k, ascending index sort,
     and a validity mask replacing the reference's dynamic index filtering.
     Ring-evicted blocks (absolute idx < num_blocks - max_blocks) are masked.
+
+    block_indices: optional (B, topk) int32 precomputed external retrieval
+    (reference set_retrieved_block_indices, kv_cache_manager.py:668-672);
+    entries < 0 or >= num_blocks are masked.
 
     Returns (ret_k, ret_v, token_valid, valid_len):
       ret_k/ret_v: (B, Hkv, R, D) with R = n_init + topk*block_size —
@@ -382,6 +387,13 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     cs = cfg.chunk_size
     k_chunks = cfg.topk // cs
     assert Nb % cs == 0
+
+    if block_indices is not None:
+        block_slot = jnp.asarray(block_indices, jnp.int32)
+        assert block_slot.shape == (B, cfg.topk), block_slot.shape
+        sel_valid = (block_slot >= 0) & (block_slot < kv.num_blocks[:, None])
+        block_slot_safe = jnp.clip(block_slot, 0, Nb - 1)
+        return _gather_retrieved(kv, cfg, block_slot_safe, sel_valid)
 
     # mean question query, grouped to kv heads (== reference's expanded dot)
     if q_valid is None:
@@ -414,7 +426,15 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
                   ).reshape(B, cfg.topk)                       # (B, topk) slots
     block_slot_safe = jnp.clip(block_slot, 0, Nb - 1)
     sel_valid = (block_slot < kv.num_blocks[:, None])
+    return _gather_retrieved(kv, cfg, block_slot_safe, sel_valid)
 
+
+def _gather_retrieved(kv: StreamKV, cfg: ReKVConfig, block_slot_safe,
+                      sel_valid):
+    B = block_slot_safe.shape[0]
+    Hkv = kv.block_rep.shape[2]
+    S = cfg.block_size
+    D = kv.block_k.shape[-1]
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
     gk = kv.block_k[bidx, :, block_slot_safe]   # (B, topk, Hkv, S, D)
     gv = kv.block_v[bidx, :, block_slot_safe]

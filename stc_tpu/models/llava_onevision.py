@@ -166,31 +166,18 @@ class LlavaOVVision:
 
     def __init__(self, cfg: LlavaOVConfig, scfg: SessionConfig,
                  dtype=jnp.float32):
+        from stc_tpu.runtime.vlm import make_preprocessor
         self.cfg = cfg
         self.scfg = scfg
         self.dtype = dtype
-        vc = cfg.vision
-
-        def _pre(frames_u8):
-            x = frames_u8.astype(jnp.float32) / 255.0
-            if (frames_u8.shape[1] != vc.image_size
-                    or frames_u8.shape[2] != vc.image_size):
-                x = jax.image.resize(
-                    x, (x.shape[0], vc.image_size, vc.image_size, 3),
-                    "bilinear")
-            x = (x - IMAGE_MEAN) / IMAGE_STD
-            return x.transpose(0, 3, 1, 2).astype(dtype)
-
-        self._pre = jax.jit(_pre)
+        self.preprocess = make_preprocessor(cfg.vision.image_size,
+                                            IMAGE_MEAN, IMAGE_STD, dtype)
 
     def init_state(self):
         return (sg.init_cacher_state(self.cfg.vision, 1, self.dtype),
                 init_pruner_state(
                     1, int(self.cfg.text.hidden_size
                            * self.scfg.pruner.channel_keep_ratio)))
-
-    def preprocess(self, frames):
-        return self._pre(jnp.asarray(np.asarray(frames)))
 
     def _post(self, params, feats, pstate):
         feats = project(params["projector"], feats)

@@ -77,28 +77,15 @@ def project_mlp2x(proj: Dict[str, Any], feats: jax.Array) -> jax.Array:
 class LongVAVision(VisionPipeline):
     def __init__(self, cfg: LongVAConfig, scfg: SessionConfig,
                  dtype=jnp.float32):
+        from stc_tpu.runtime.vlm import make_preprocessor
         self.cfg = cfg
         self.scfg = scfg
         self.dtype = dtype
-        vc = cfg.vision
-
-        def _pre(frames_u8):
-            x = frames_u8.astype(jnp.float32) / 255.0
-            if (frames_u8.shape[1] != vc.image_size
-                    or frames_u8.shape[2] != vc.image_size):
-                x = jax.image.resize(
-                    x, (x.shape[0], vc.image_size, vc.image_size, 3),
-                    "bilinear")
-            x = (x - CLIP_MEAN) / CLIP_STD
-            return x.transpose(0, 3, 1, 2).astype(dtype)
-
-        self._pre = jax.jit(_pre)
+        self.preprocess = make_preprocessor(cfg.vision.image_size,
+                                            CLIP_MEAN, CLIP_STD, dtype)
 
     def init_state(self):
         return cl.init_clip_cacher(self.cfg.vision, self.dtype), ()
-
-    def preprocess(self, frames):
-        return self._pre(jnp.asarray(np.asarray(frames)))
 
     def _post(self, params, feats):
         feats = feats[:, 1:]  # drop CLS ('patch' select)

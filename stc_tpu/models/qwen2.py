@@ -181,7 +181,8 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 
 def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
                      kvs: StreamKV, dkvs: DecodeKV, embeds: jax.Array,
-                     n_tokens: jax.Array | None = None) -> DecodeKV:
+                     n_tokens: jax.Array | None = None,
+                     retrieved_indices: jax.Array | None = None) -> DecodeKV:
     """Question forward with per-layer retrieval; installs the retrieved
     prefix into the decode cache.
 
@@ -200,7 +201,8 @@ def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         lp, kv, dkv = xs
         hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
         q, k, v = _qkv(lp, hn, cfg)
-        ret_k, ret_v, _, valid_len = retrieve_blocks(kv, q, rekv, q_valid)
+        ret_k, ret_v, _, valid_len = retrieve_blocks(
+            kv, q, rekv, q_valid, block_indices=retrieved_indices)
         dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
                            rope_base=cfg.rope_base)
         # write question KV for this forward only; cursor reset afterwards

@@ -126,14 +126,24 @@ class StreamingSession:
         prompt_ids: Sequence[int],
         stop_token_ids: Sequence[int],
         max_new_tokens: int = 128,
+        retrieved_indices: Optional[Sequence[int]] = None,
     ) -> List[int]:
         """Retrieve with `question_ids`, then greedy-decode from `prompt_ids`.
 
         Replicates the reference QA loop (llava_onevision_rekv.py:71-152)
         including the anti-EOS-at-step-0 top-2 fallback (:127-131).
+        retrieved_indices: optional external block indices (reference
+        external-retrieval path); padded/truncated to topk.
         """
         rc = self.rekv
         B = self.batch
+
+        ext_idx = None
+        if retrieved_indices is not None:
+            arr = np.full((B, rc.topk), -1, dtype=np.int32)
+            ids = list(retrieved_indices)[: rc.topk]
+            arr[:, :len(ids)] = np.asarray(ids, dtype=np.int32)
+            ext_idx = jnp.asarray(arr)
 
         # --- retrieval forward over the question ---
         qlen = len(question_ids)
@@ -145,7 +155,8 @@ class StreamingSession:
         dkvs = self._qa_retrieve(
             self.params, kvs=self.kvs, dkvs=dkvs,
             embeds=self._embed(self.params, jnp.asarray(q_ids)),
-            n_tokens=jnp.full((B,), qlen, jnp.int32))
+            n_tokens=jnp.full((B,), qlen, jnp.int32),
+            retrieved_indices=ext_idx)
 
         # --- prompt prefill ---
         plen = len(prompt_ids)

@@ -22,6 +22,37 @@ from stc_tpu.models import qwen2 as qw
 from stc_tpu.runtime.session import StreamingSession
 
 
+def make_preprocessor(image_size: int, mean, std, dtype):
+    """Frame preprocessor: native C++ (resize+normalize+CHW, multithreaded)
+    when the toolchain is available, jitted JAX ops otherwise."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+
+    def _pre_device(frames):
+        x = frames.astype(jnp.float32) / 255.0
+        if frames.shape[1] != image_size or frames.shape[2] != image_size:
+            # plain half-pixel bilinear (no antialias), matching the native
+            # C++ preprocessor and torch interpolate align_corners=False
+            x = jax.image.resize(
+                x, (x.shape[0], image_size, image_size, 3), "bilinear",
+                antialias=False)
+        x = (x - mean) / std
+        return x.transpose(0, 3, 1, 2).astype(dtype)
+
+    pre_jit = jax.jit(_pre_device)
+
+    def preprocess(frames):
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            from stc_tpu import native
+            out = native.preprocess_frames(frames, image_size, mean, std)
+            if out is not None:
+                return jnp.asarray(out, dtype)
+        return pre_jit(jnp.asarray(frames))
+
+    return preprocess
+
+
 class VisionPipeline:
     """Backbone-specific vision stack: frames -> (1, F*block_size, E)."""
 

@@ -1,0 +1,61 @@
+"""Metrics + session checkpoint/resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stc_tpu.utils.checkpoint import load_session_state, save_session_state
+from stc_tpu.utils.metrics import StreamingStats, Timer
+
+
+def test_streaming_stats():
+    st = StreamingStats()
+    for t in (0.01, 0.02, 0.03, 0.04):
+        st.record_frame(t, tokens=60)
+    st.record_qa(0.5)
+    s = st.summary(kv_memory_bytes=2 ** 30)
+    assert s["frames"] == 4
+    assert abs(s["fps"] - 4 / 0.1) < 1e-6
+    assert s["frame_p50_ms"] in (20.0, 30.0)
+    assert s["encode_tokens"] == 240
+    assert s["kv_memory_gb"] == 1.0
+    with Timer() as t:
+        pass
+    assert t.seconds >= 0
+
+
+def test_session_checkpoint_roundtrip(tmp_path):
+    from stc_tpu.config import (CacherConfig, PrunerConfig, ReKVConfig,
+                                SessionConfig)
+    from stc_tpu.models import llava_onevision as lo
+
+    cfg = lo.LlavaOVConfig.tiny()
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=128, block_size=3, exc_block_size=3,
+                        topk=4, max_blocks=64, max_prompt_tokens=16,
+                        max_new_tokens=4),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(token_per_frame=3))
+    params = lo.init_random_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(3, 56, 56, 3), dtype=np.uint8)
+
+    sess = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32)
+    sess.encode_init_prompt([1, 2, 3, 4])
+    sess.encode_video(frames)
+    ans_before = sess.question_answering([5, 6], [5, 6, 7], [0],
+                                         max_new_tokens=4)
+    path = str(tmp_path / "state.npz")
+    save_session_state(sess, path)
+
+    # fresh session, restore, same answer + stream continues correctly
+    sess2 = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32)
+    load_session_state(sess2, path)
+    assert int(np.asarray(sess2.kvs.num_blocks)[0, 0]) == 3
+    assert sess2.chunk_idx == 3
+    ans_after = sess2.question_answering([5, 6], [5, 6, 7], [0],
+                                         max_new_tokens=4)
+    assert ans_before == ans_after
+    sess2.encode_video(frames[:1])
+    assert int(np.asarray(sess2.kvs.num_blocks)[0, 0]) == 4
