@@ -1,0 +1,75 @@
+"""Competitor token-reduction baselines (the reference's experiment graveyard).
+
+TPU-native ports of the self-contained algorithms under
+model/experiment/ — used as ablation baselines against the STC-Pruner:
+
+- ToMe bipartite soft matching (tome.py:1-120): alternate tokens into A/B
+  sets, match each A to its most-similar B, merge the top-r pairs by
+  size-weighted averaging.  Static shapes: output keeps num_tokens slots
+  with a keep-mask (merged-away tokens are masked), which is how the
+  streaming engine consumes reduced token sets anyway.
+- DBDPC-style density clustering reduction (DBDPC.py): select density-peak
+  exemplars via DPC-KNN and assign every token to its nearest exemplar,
+  merging by mean.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stc_tpu.compress.scoring import dpc_knn_select
+
+
+def tome_merge(metric: jax.Array, x: jax.Array, sizes: jax.Array, r: int
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Bipartite soft matching + component merge.
+
+    metric: (N, Dm) similarity features (normalized outside if desired);
+    x: (N, D) tokens to merge; sizes: (N,) token weights.
+    Returns (merged_x (N, D), new_sizes (N,), keep_mask (N,)) — kept slots
+    hold the size-weighted component means; merged-away slots are masked.
+    """
+    N = metric.shape[0]
+    assert N % 2 == 0, "pad to even token count"
+    A = jnp.arange(0, N, 2)
+    B = jnp.arange(1, N, 2)
+    sim = metric[A].astype(jnp.float32) @ metric[B].astype(jnp.float32).T
+    best_B = jnp.argmax(sim, axis=-1)            # (N/2,)
+    best_val = jnp.max(sim, axis=-1)
+    r = min(r, N // 2)
+    _, top_a = jax.lax.top_k(best_val, r)        # A rows to merge
+
+    labels = jnp.arange(N)
+    a_idx = A[top_a]
+    b_idx = B[best_B[top_a]]
+    labels = labels.at[a_idx].set(b_idx)         # A joins its B component
+
+    # size-weighted merge by label (labels are either self or a B index,
+    # so one scatter-add settles all components: depth-1 label graph)
+    w = sizes.astype(jnp.float32)
+    wsum = jnp.zeros((N,), jnp.float32).at[labels].add(w)
+    xsum = jnp.zeros_like(x, shape=(N, x.shape[1])).astype(jnp.float32)
+    xsum = xsum.at[labels].add(x.astype(jnp.float32) * w[:, None])
+    keep = wsum > 0
+    merged = xsum / jnp.maximum(wsum, 1e-8)[:, None]
+    return merged.astype(x.dtype), wsum.astype(sizes.dtype), keep
+
+
+def dbdpc_reduce(x: jax.Array, n_keep: int, k: int = 5
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Density-based clustering reduction: pick n_keep density peaks with
+    DPC-KNN, assign every token to its nearest peak, return cluster means.
+
+    x: (N, D).  Returns (reduced (n_keep, D), exemplar indices (n_keep,)).
+    """
+    idx = dpc_knn_select(x, k=k, n_keep=n_keep)
+    centers = x[idx].astype(jnp.float32)         # (n_keep, D)
+    xf = x.astype(jnp.float32)
+    d2 = jnp.sum((xf[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    assign = jnp.argmin(d2, axis=1)              # (N,)
+    csum = jnp.zeros_like(centers).at[assign].add(xf)
+    cnt = jnp.zeros((n_keep,), jnp.float32).at[assign].add(1.0)
+    return (csum / jnp.maximum(cnt, 1.0)[:, None]).astype(x.dtype), idx

@@ -1,0 +1,43 @@
+"""ToMe / DBDPC token-reduction baselines."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stc_tpu.compress.experiments import dbdpc_reduce, tome_merge
+
+
+def test_tome_merges_most_similar_pairs():
+    rng = np.random.default_rng(0)
+    # 8 tokens; token 0 (A) nearly identical to token 1 (B)
+    x = rng.normal(size=(8, 4)).astype(np.float32)
+    x[0] = x[1] + 1e-3
+    metric = x / np.linalg.norm(x, axis=1, keepdims=True)
+    merged, sizes, keep = tome_merge(jnp.asarray(metric), jnp.asarray(x),
+                                     jnp.ones(8), r=1)
+    keep = np.asarray(keep)
+    assert not keep[0] and keep[1]          # A merged into B
+    assert keep.sum() == 7
+    np.testing.assert_allclose(np.asarray(sizes)[1], 2.0)
+    np.testing.assert_allclose(np.asarray(merged)[1],
+                               (x[0] + x[1]) / 2, rtol=1e-5)
+
+
+def test_tome_r_zero_keeps_all():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(6, 4)).astype(np.float32)
+    merged, sizes, keep = tome_merge(jnp.asarray(x), jnp.asarray(x),
+                                     jnp.ones(6), r=0)
+    assert np.asarray(keep).all()
+    np.testing.assert_allclose(np.asarray(merged), x, rtol=1e-5)
+
+
+def test_dbdpc_reduce_clusters():
+    rng = np.random.default_rng(2)
+    # two tight clusters -> 2 exemplars near the cluster means
+    a = rng.normal(scale=0.05, size=(10, 3)) + np.array([5, 0, 0])
+    b = rng.normal(scale=0.05, size=(10, 3)) - np.array([5, 0, 0])
+    x = np.concatenate([a, b]).astype(np.float32)
+    reduced, idx = dbdpc_reduce(jnp.asarray(x), n_keep=2, k=3)
+    reduced = np.asarray(reduced)
+    means = sorted(reduced[:, 0])
+    assert means[0] < -4.5 and means[1] > 4.5
