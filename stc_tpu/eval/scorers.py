@@ -75,6 +75,48 @@ def streamingbench_score(data: List[dict], model_key: str) -> Dict[str, dict]:
     return dict(stats)
 
 
+def streamingbench_score_sqa(data: List[List[dict]],
+                             model_key: str) -> Dict[str, dict]:
+    """Sequential-QA variant: data is a list of dialogs, each a list of
+    entries (count.py 'sqa' branch)."""
+    flat = [entry for dialog in data for entry in dialog]
+    return streamingbench_score(flat, model_key)
+
+
+def streamingbench_score_proactive(data: List[dict], model_key: str,
+                                   tolerance_s: int = 2) -> Dict[str, dict]:
+    """Proactive-output variant (count.py 'proactive' branch): the model's
+    last dialog turn must land within ±tolerance_s of the ground-truth
+    timestamp AND contain the ground-truth output."""
+    stats: Dict[str, dict] = defaultdict(
+        lambda: {"total": 0, "time_correct": 0, "answer_correct": 0})
+    for entry in data:
+        for q in entry.get("questions", []):
+            if model_key not in q:
+                continue
+            pred = q[model_key]
+            if not pred:
+                continue
+            gt_ts = q["ground_truth_time_stamp"]
+            gt_time = sum(int(x) * 60 ** i
+                          for i, x in enumerate(reversed(gt_ts.split(":"))))
+            hist = pred["dialog_history"]
+            last_time = hist[-1]["time"]
+            last_answer = hist[-1]["content"]
+            tt = q["task_type"]
+            stats[tt]["total"] += 1
+            if -tolerance_s <= last_time - gt_time <= tolerance_s:
+                stats[tt]["time_correct"] += 1
+                if q["ground_truth_output"] in last_answer:
+                    stats[tt]["answer_correct"] += 1
+    for c in stats.values():
+        c["time_accuracy"] = (c["time_correct"] / c["total"]
+                              if c["total"] else 0.0)
+        c["answer_accuracy"] = (c["answer_correct"] / c["total"]
+                                if c["total"] else 0.0)
+    return dict(stats)
+
+
 # ---------------------------------------------------------------------------
 # OVO-Bench
 # ---------------------------------------------------------------------------

@@ -90,8 +90,9 @@ class RopeCache(NamedTuple):
     sin_init: jax.Array
     cos_win: jax.Array     # (B, W, S, D) window-page keys
     sin_win: jax.Array
-    win_pages: jax.Array   # (B, W) absolute page indices (may be <0 = empty)
-    win_slots: jax.Array   # (B, W) store slots (clipped page indices)
+    win_pages: jax.Array   # (B, W) absolute page indices of the window
+    win_start: jax.Array   # (B,) first window page (contiguous slice start)
+    win_slots: jax.Array   # (B, W) store slots (== pages; append-only)
     win_pos: jax.Array     # (B, W, S) absolute token positions
     local_mask: jax.Array  # (B, 1, T, W, S)
     init_local_mask: jax.Array  # (B, 1, T, n_init)
@@ -137,11 +138,15 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
     init_local_mask = ((d_init >= 0) & (d_init < cfg.n_local)
                        & (init_pos[:, None, :] < L[:, None, None]))[:, None]
 
-    # window pages: the last W pages including the block being appended
+    # window pages: the last W pages including the block being appended.
+    # The store is append-only, so the window is one CONTIGUOUS page range
+    # starting at win_start — readable with a dynamic_slice (XLA gathers run
+    # at ~1/10th of copy bandwidth on TPU; slices run at full speed).
     total = num_blocks[:, None] + 1
-    pages = total - W + jnp.arange(W, dtype=jnp.int32)[None, :]     # (B, W)
-    pvalid = pages >= 0
-    slots = jnp.clip(pages, 0, Nb - 1)
+    win_start = jnp.clip(num_blocks + 1 - W, 0, Nb - W)             # (B,)
+    pages = win_start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    pvalid = pages < total
+    slots = pages
     win_pos = (cfg.n_init + pages[:, :, None] * S
                + jnp.arange(S, dtype=jnp.int32)[None, None, :])     # (B, W, S)
     rel_win = jnp.clip(win_pos - L[:, None, None] + cfg.n_local, 0,
@@ -158,7 +163,7 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
     from stc_tpu.ops.stream_attention import pages_per_tile
     ppt = pages_per_tile(S)
     n_read = W // ppt + 1
-    start_tile = jnp.clip(pages[:, 0], 0, None) // ppt          # (B,)
+    start_tile = win_start // ppt                                # (B,)
     cover_pages = (start_tile[:, None] * ppt
                    + jnp.arange(n_read * ppt, dtype=jnp.int32)[None, :])
     cover_pos = (cfg.n_init + cover_pages[:, :, None] * S
@@ -171,9 +176,9 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
     sin_cover = sin_cover.reshape(B, Lc, head_dim)
 
     return RopeCache(cos_q, sin_q, cos_one, sin_one, cos_init, sin_init,
-                     cos_win, sin_win, pages, slots, win_pos, local_mask,
-                     init_local_mask, init_active, cos_cover, sin_cover,
-                     start_tile)
+                     cos_win, sin_win, pages, win_start, slots, win_pos,
+                     local_mask, init_local_mask, init_active, cos_cover,
+                     sin_cover, start_tile)
 
 
 def _rot(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -272,11 +277,15 @@ def append_stream(
             T=T, n_local=cfg.n_local, n_init=cfg.n_init,
             interpret=(backend == "pallas_interpret"))
     else:
-        # gather the window pages (includes the page just written);
-        # take_along_axis keeps the head-major layout: (B, Hkv, W, S, D)
-        widx = rc.win_slots[:, None, :, None, None]
-        win_k = jnp.take_along_axis(block_k, widx, axis=2)
-        win_v = jnp.take_along_axis(block_v, widx, axis=2)
+        # slice the contiguous window pages (includes the page just written):
+        # (B, Hkv, W, S, D); vmapped dynamic_slice over the batch
+        W = rc.win_pages.shape[1]
+
+        def _win(bk, start):
+            return jax.lax.dynamic_slice_in_dim(bk, start, W, axis=1)
+
+        win_k = jax.vmap(_win)(block_k, rc.win_start)
+        win_v = jax.vmap(_win)(block_v, rc.win_start)
         k_win_rot = _rot(win_k, rc.cos_win[:, None], rc.sin_win[:, None])
         # joint softmax over [init-local | window | init-one-angle]
         o = _stream_attention(q_rot, q_one, k_init_rot, kv.init_v,
@@ -307,21 +316,25 @@ def _stream_attention(q_rot, q_one, k_init, v_init, m_init,
     nI = k_init.shape[2]
     scale = 1.0 / (D ** 0.5)
 
-    def q_g(qx):
-        return qx.reshape(B, Hkv, G, T, D).astype(jnp.float32)
+    f32 = jnp.float32
 
-    lg_init = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_rot),
-                         k_init.astype(jnp.float32)).reshape(B, Hq, T, nI)
+    def q_g(qx):
+        return qx.reshape(B, Hkv, G, T, D)
+
+    # matmuls stay in the input dtype (bf16 on TPU) with fp32 accumulation —
+    # no materialized fp32 copies of K/V
+    lg_init = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_rot), k_init,
+                         preferred_element_type=f32).reshape(B, Hq, T, nI)
     lg_init = jnp.where(m_init, lg_init * scale, NEG_INF)
 
-    lg_win = jnp.einsum("bhgqd,bhwsd->bhgqws", q_g(q_rot),
-                        k_win.astype(jnp.float32))
+    lg_win = jnp.einsum("bhgqd,bhwsd->bhgqws", q_g(q_rot), k_win,
+                        preferred_element_type=f32)
     lg_win = lg_win.reshape(B, Hq, T, W, S)
     m_win_h = jnp.broadcast_to(m_win, (B, 1, T, W, S))
     lg_win = jnp.where(m_win_h, lg_win * scale, NEG_INF).reshape(B, Hq, T, W * S)
 
-    lg_far = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_one),
-                        k_init_raw.astype(jnp.float32)).reshape(B, Hq, T, nI)
+    lg_far = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_one), k_init_raw,
+                        preferred_element_type=f32).reshape(B, Hq, T, nI)
     m_far = jnp.broadcast_to(init_active[:, None, None, None], (B, 1, T, nI))
     lg_far = jnp.where(m_far, lg_far * scale, NEG_INF)
 
@@ -330,23 +343,22 @@ def _stream_attention(q_rot, q_one, k_init, v_init, m_init,
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     p = jnp.exp(logits - m)
     denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-38)
-    p = p / denom
+    # post-softmax mask-fill is unnecessary: masked logits are -inf, so their
+    # probabilities are exactly 0 (the all-masked-row case is guarded by the
+    # finite-m clamp above, and every row has at least its own token)
+    p = (p / denom).astype(q_rot.dtype)
 
     def p_g(px):
         return px.reshape(B, Hkv, G, T, px.shape[-1])
 
-    p_init = jnp.where(m_init, p[..., :nI], 0.0)
-    p_win = jnp.where(m_win_h, p[..., nI:nI + W * S].reshape(B, Hq, T, W, S),
-                      0.0).reshape(B, Hq, T, W * S)
-    p_far = jnp.where(m_far, p[..., nI + W * S:], 0.0)
-
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p_init),
-                     v_init.astype(jnp.float32))
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p[..., :nI]), v_init,
+                     preferred_element_type=f32)
     out = out + jnp.einsum(
         "bhgqws,bhwsd->bhgqd",
-        p_g(p_win).reshape(B, Hkv, G, T, W, S), v_win.astype(jnp.float32))
-    out = out + jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p_far),
-                           v_init_raw.astype(jnp.float32))
+        p_g(p[..., nI:nI + W * S]).reshape(B, Hkv, G, T, W, S), v_win,
+        preferred_element_type=f32)
+    out = out + jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p[..., nI + W * S:]),
+                           v_init_raw, preferred_element_type=f32)
     return out.reshape(B, Hq, T, D).astype(q_rot.dtype)
 
 

@@ -251,3 +251,50 @@ def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
     return params["embed"][ids]
+
+
+def greedy_decode(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                  dkvs: DecodeKV, last_logits: jax.Array,
+                  stop_ids: jax.Array, max_new_tokens: int
+                  ) -> Tuple[jax.Array, jax.Array, DecodeKV]:
+    """On-device greedy decode loop (single dispatch for the whole answer).
+
+    last_logits: (B, V) logits of the prompt's final position.
+    stop_ids: (n_stop,) int32 (pad with -1).
+    Replicates the reference loop (llava_onevision_rekv.py:105-143) including
+    the anti-EOS-at-step-0 top-2 fallback.
+    Returns (tokens (B, max_new_tokens), n_generated (B,), dkvs).
+    """
+    B = last_logits.shape[0]
+
+    def is_stop(tok):
+        return jnp.any(tok[:, None] == stop_ids[None, :], axis=1)
+
+    def pick(logits, i):
+        _, top2 = jax.lax.top_k(logits, 2)
+        tok = top2[:, 0]
+        # step 0: never emit a stop token first
+        tok = jnp.where((i == 0) & is_stop(tok), top2[:, 1], tok)
+        return tok.astype(jnp.int32)
+
+    def cond(state):
+        i, _, _, done, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, logits, tokens, done, count, dkvs = state
+        tok = pick(logits, i)
+        record = ~done
+        tokens = tokens.at[:, i].set(jnp.where(record, tok, 0))
+        count = count + record.astype(jnp.int32)
+        done = done | is_stop(tok)
+        emb = embed_tokens(params, tok[:, None])
+        logits_next, dkvs = decode_step(params, cfg, rekv, dkvs, emb,
+                                        jnp.ones((B,), jnp.int32))
+        return (i + 1, logits_next[:, 0], tokens, done, count, dkvs)
+
+    tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    state = (jnp.asarray(0, jnp.int32), last_logits, tokens0,
+             jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32), dkvs)
+    _, _, tokens, _, count, dkvs = jax.lax.while_loop(cond, body, state)
+    return tokens, count, dkvs

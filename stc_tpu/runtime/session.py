@@ -79,6 +79,9 @@ class StreamingSession:
             qw.qa_retrieve_step, cfg=mc, rekv=rc), donate_argnames=("dkvs",))
         self._decode = jax.jit(functools.partial(
             qw.decode_step, cfg=mc, rekv=rc), donate_argnames=("dkvs",))
+        self._greedy = jax.jit(functools.partial(
+            qw.greedy_decode, cfg=mc, rekv=rc),
+            static_argnames=("max_new_tokens",), donate_argnames=("dkvs",))
         self._embed = jax.jit(qw.embed_tokens)
 
         self.kvs = None
@@ -168,26 +171,18 @@ class StreamingSession:
             self.params, dkvs=dkvs,
             embeds=self._embed(self.params, jnp.asarray(p_ids)),
             n_tokens=jnp.full((B,), plen, jnp.int32))
-        last = np.asarray(logits[:, plen - 1])  # (B, V)
+        last = logits[:, plen - 1]  # (B, V)
 
-        # --- greedy decode with anti-EOS-first-token rule ---
-        stop = set(int(t) for t in stop_token_ids)
-        out_tokens: List[int] = []
-        for i in range(max_new_tokens):
-            top2 = np.argsort(-last[0])[:2]
-            token = int(top2[0])
-            if i == 0 and token in stop:
-                token = int(top2[1]) if len(top2) > 1 else 1
-            out_tokens.append(token)
-            if token in stop:
-                break
-            step_ids = np.full((B, 1), token, dtype=np.int32)
-            logits, dkvs = self._decode(
-                self.params, dkvs=dkvs,
-                embeds=self._embed(self.params, jnp.asarray(step_ids)),
-                n_tokens=jnp.ones((B,), jnp.int32))
-            last = np.asarray(logits[:, 0])
-        return out_tokens
+        # --- on-device greedy decode (one dispatch for the whole answer;
+        # sequential host round trips cost ~30ms/token on this platform) ---
+        stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
+        stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
+                                                    np.int32)
+        tokens, count, dkvs = self._greedy(
+            self.params, dkvs=dkvs, last_logits=last,
+            stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+        n = int(np.asarray(count)[0])
+        return [int(t) for t in np.asarray(tokens)[0, :n]]
 
     # ------------------------------------------------------------------ #
     def kv_memory_bytes(self) -> int:

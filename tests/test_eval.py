@@ -236,3 +236,26 @@ def test_ovobench_protocol(tmp_path):
     assert s["backward"]["tasks"]["EPM"] == 100.0
     assert "A. x; B. y;" in build_prompt("EPM", "q", ["x", "y"])
     assert split_contiguous(list(range(10)), 1, 3) == [4, 5, 6]
+
+
+def test_streamingbench_sqa_and_proactive_scorers():
+    from stc_tpu.eval.scorers import (streamingbench_score_proactive,
+                                      streamingbench_score_sqa)
+    sqa = [[{"questions": [{"task_type": "t", "answer": "A", "m": "A"}]},
+            {"questions": [{"task_type": "t", "answer": "B", "m": "A"}]}]]
+    s = streamingbench_score_sqa(sqa, "m")
+    assert s["t"]["total"] == 2 and s["t"]["correct"] == 1
+
+    pro = [{"questions": [{
+        "task_type": "p", "ground_truth_time_stamp": "00:01:00",
+        "ground_truth_output": "a red car",
+        "m": {"dialog_history": [{"time": 61, "content": "I see a red car"}]},
+    }, {
+        "task_type": "p", "ground_truth_time_stamp": "00:01:00",
+        "ground_truth_output": "a red car",
+        "m": {"dialog_history": [{"time": 70, "content": "a red car"}]},
+    }]}]
+    s = streamingbench_score_proactive(pro, "m")
+    assert s["p"]["total"] == 2
+    assert s["p"]["time_correct"] == 1 and s["p"]["answer_correct"] == 1
+    assert s["p"]["time_accuracy"] == 0.5
