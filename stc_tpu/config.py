@@ -32,13 +32,19 @@ class ReKVConfig:
     exc_block_size: int = 60      # encode chunk granularity (== block_size by default)
     topk: int = 64                # retrieved blocks per question
     chunk_size: int = 1           # retrieval scoring chunk grouping
-    max_blocks: int = 1024        # static capacity of the HBM block store (frames)
+    max_blocks: int = 1024        # static capacity of the HBM page store (frames)
+    max_rep_blocks: int = 0       # rep-key capacity (0 => max_blocks); set
+                                  # larger to retrieve host-evicted pages
     max_new_tokens: int = 128     # decode budget per question
     max_prompt_tokens: int = 512  # static prompt-prefill capacity for QA
 
     def __post_init__(self):
         assert self.exc_block_size <= self.n_local
         assert self.topk % self.chunk_size == 0
+
+    @property
+    def rep_cap(self) -> int:
+        return self.max_rep_blocks or self.max_blocks
 
     @property
     def local_cap(self) -> int:

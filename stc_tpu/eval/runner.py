@@ -18,7 +18,8 @@ import time
 from typing import Callable, List, Optional
 
 from stc_tpu.eval.datasets import DATASETS
-from stc_tpu.eval.scorers import multiple_choice_accuracy
+from stc_tpu.eval.scorers import (multiple_choice_accuracy,
+                                  open_ended_accuracy)
 from stc_tpu.eval.solvers import create_solver
 
 
@@ -80,6 +81,9 @@ def merge_and_score(save_dir: str, dataset: str):
     if ds.scorer == "multiple_choice":
         scored = multiple_choice_accuracy(
             [r for r in rows if "pred_choice" in r])
+    elif ds.scorer == "open_ended":
+        scored = open_ended_accuracy(
+            [r for r in rows if "pred_answer" in r])
     out = {"dataset": dataset, "n_rows": len(rows), "score": scored,
            "ts": time.time()}
     with open(os.path.join(save_dir, "merged_score.json"), "w") as f:

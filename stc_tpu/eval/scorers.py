@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, List, Optional
 
 
 # ---------------------------------------------------------------------------
@@ -29,6 +29,31 @@ def multiple_choice_accuracy(rows: Iterable[dict]) -> Dict[str, float]:
     for r in rows:
         total += 1
         correct += int(r["pred_choice"] == r["correct_choice"])
+    return {"accuracy": 100.0 * correct / total if total else 0.0,
+            "n": total}
+
+
+def open_ended_accuracy(rows: Iterable[dict],
+                        judge: Optional[Callable[[str, str, str], bool]]
+                        = None) -> Dict[str, float]:
+    """Open-ended QA scoring (reference eval_open_ended.py used a GPT judge).
+
+    Without a judge callable, falls back to normalized containment matching
+    (answer within prediction or vice versa).  `judge(question, answer,
+    prediction) -> bool` plugs in an LLM judge when an API is available.
+    """
+    total = correct = 0
+    for r in rows:
+        ans = (r.get("answer") or "").strip().lower()
+        pred = (r.get("pred_answer") or "").strip().lower()
+        if not ans:
+            continue
+        total += 1
+        if judge is not None:
+            ok = judge(r.get("question", ""), ans, pred)
+        else:
+            ok = bool(pred) and (ans in pred or pred in ans)
+        correct += int(ok)
     return {"accuracy": 100.0 * correct / total if total else 0.0,
             "n": total}
 

@@ -61,8 +61,9 @@ def init_stream_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
         init_v=z((B, H, cfg.n_init, D)),
         block_k=z((B, H, Nb, S, D)),
         block_v=z((B, H, Nb, S, D)),
-        block_rep=z((B, Nb, H, D)),
+        block_rep=z((B, cfg.rep_cap, H, D)),
         num_blocks=jnp.zeros((B,), dtype=jnp.int32),
+        page_offset=jnp.zeros((B,), dtype=jnp.int32),
         length=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -105,7 +106,8 @@ class RopeCache(NamedTuple):
 
 def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
                     cfg: ReKVConfig, head_dim: int,
-                    rope_base: float, n_pages: int | None = None) -> RopeCache:
+                    rope_base: float, n_pages: int | None = None,
+                    page_offset: jax.Array | None = None) -> RopeCache:
     """Everything position-dependent for one streaming append of T tokens.
 
     length/num_blocks: (B,) state BEFORE the append.  The current block is
@@ -143,10 +145,15 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
     # starting at win_start — readable with a dynamic_slice (XLA gathers run
     # at ~1/10th of copy bandwidth on TPU; slices run at full speed).
     total = num_blocks[:, None] + 1
-    win_start = jnp.clip(num_blocks + 1 - W, 0, Nb - W)             # (B,)
-    pages = win_start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    offset = (jnp.zeros_like(num_blocks) if page_offset is None
+              else page_offset)
+    # device-local slice start; pages are ABSOLUTE indices (positions depend
+    # on them); the session guarantees the window is never evicted
+    win_start = jnp.clip(num_blocks + 1 - offset - W, 0, Nb - W)    # (B,)
+    pages = (offset + win_start)[:, None] \
+        + jnp.arange(W, dtype=jnp.int32)[None, :]
     pvalid = pages < total
-    slots = pages
+    slots = pages - offset[:, None]
     win_pos = (cfg.n_init + pages[:, :, None] * S
                + jnp.arange(S, dtype=jnp.int32)[None, None, :])     # (B, W, S)
     rel_win = jnp.clip(win_pos - L[:, None, None] + cfg.n_local, 0,
@@ -246,14 +253,15 @@ def append_stream(
     # blocked pipelining).  Streams longer than max_blocks pages need the
     # host-offload tier; until then the last slot is overwritten.
     bidx = jnp.arange(B, dtype=jnp.int32)
-    slot = jnp.minimum(kv.num_blocks, cfg.max_blocks - 1)
+    slot = jnp.clip(kv.num_blocks - kv.page_offset, 0, cfg.max_blocks - 1)
     # advanced indices on (batch, page) dims with the head dim sliced: the
     # scatter window is a whole (S, D) page per kv head
     block_k = kv.block_k.at[bidx, :, slot].set(k)
     block_v = kv.block_v.at[bidx, :, slot].set(v)
     rep = jnp.mean(k.astype(jnp.float32), axis=2).astype(kv.block_rep.dtype)
-    block_rep = kv.block_rep.at[bidx, slot].set(rep)
-    num_blocks = jnp.minimum(kv.num_blocks + 1, cfg.max_blocks)
+    rep_slot = jnp.minimum(kv.num_blocks, cfg.rep_cap - 1)
+    block_rep = kv.block_rep.at[bidx, rep_slot].set(rep)
+    num_blocks = kv.num_blocks + 1
 
     # ---- rotations (tables shared across layers via rope_cache) ----
     q_rot = _rot(q, rc.cos_q, rc.sin_q)
@@ -391,21 +399,42 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
       token_valid: (B, R) bool;
       valid_len:   (B,) int32 — number of valid tokens (contiguous prefix).
     """
+    B = q.shape[0]
+    Nb = cfg.max_blocks
+
+    if block_indices is not None:
+        abs_idx = jnp.asarray(block_indices, jnp.int32)
+        assert abs_idx.shape == (B, cfg.topk), abs_idx.shape
+        exists = (abs_idx >= 0) & (abs_idx < kv.num_blocks[:, None])
+    else:
+        abs_idx, exists = score_blocks(kv, q, cfg, q_valid)
+
+    # only device-resident pages can be gathered here; host-evicted pages
+    # are served by the session's layerwise QA path (runtime/session.py)
+    resident = exists & (abs_idx >= kv.page_offset[:, None])
+    # keep resident blocks first (ascending), non-resident/invalid last, so
+    # the valid region stays a contiguous prefix of the decode cache
+    order_key = jnp.where(resident, abs_idx, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(order_key, axis=1)
+    abs_sorted = jnp.take_along_axis(abs_idx, order, axis=1)
+    sel_valid = jnp.take_along_axis(resident, order, axis=1)
+    block_slot_safe = jnp.clip(abs_sorted - kv.page_offset[:, None], 0,
+                               Nb - 1)
+    return _gather_retrieved(kv, cfg, block_slot_safe, sel_valid)
+
+
+def score_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
+                 q_valid: jax.Array | None = None):
+    """Top-k block scoring over the FULL rep history (reference
+    _calc_block_topk): returns (abs_idx (B, topk) ascending, exists (B, topk))
+    where exists marks selections backed by real blocks (device or host)."""
     B, Hq, Lq, D = q.shape
     Hkv = kv.block_rep.shape[2]
     G = Hq // Hkv
-    S = cfg.block_size
-    Nb = cfg.max_blocks
+    Rc = kv.block_rep.shape[1]
     cs = cfg.chunk_size
     k_chunks = cfg.topk // cs
-    assert Nb % cs == 0
-
-    if block_indices is not None:
-        block_slot = jnp.asarray(block_indices, jnp.int32)
-        assert block_slot.shape == (B, cfg.topk), block_slot.shape
-        sel_valid = (block_slot >= 0) & (block_slot < kv.num_blocks[:, None])
-        block_slot_safe = jnp.clip(block_slot, 0, Nb - 1)
-        return _gather_retrieved(kv, cfg, block_slot_safe, sel_valid)
+    assert Rc % cs == 0
 
     # mean question query, grouped to kv heads (== reference's expanded dot)
     if q_valid is None:
@@ -416,29 +445,27 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
             w.sum(axis=2), 1.0)
     q_grp = q_mean.reshape(B, Hkv, G, D).sum(axis=2)          # (B, Hkv, D)
     logits = jnp.einsum("bnhd,bhd->bn", kv.block_rep.astype(jnp.float32),
-                        q_grp)                                # (B, Nb) slot-indexed
+                        q_grp)                                # (B, Rc)
 
-    # append-only store: slot == absolute block index
-    slot_ids = jnp.arange(Nb, dtype=jnp.int32)[None, :]
+    slot_ids = jnp.arange(Rc, dtype=jnp.int32)[None, :]
     n = kv.num_blocks[:, None]
     blk_valid = slot_ids < n
 
     # chunk-grouped masked mean (reference remainder-chunk semantics)
-    lg = jnp.where(blk_valid, logits, 0.0).reshape(B, Nb // cs, cs)
-    cnt = blk_valid.reshape(B, Nb // cs, cs).sum(axis=-1)
+    lg = jnp.where(blk_valid, logits, 0.0).reshape(B, Rc // cs, cs)
+    cnt = blk_valid.reshape(B, Rc // cs, cs).sum(axis=-1)
     chunk_score = jnp.where(cnt > 0, lg.sum(axis=-1) / jnp.maximum(cnt, 1),
-                            -jnp.inf)                          # (B, Nb/cs)
+                            -jnp.inf)                          # (B, Rc/cs)
 
     _, chunk_idx = jax.lax.top_k(chunk_score, k_chunks)        # (B, k_chunks)
     chunk_valid = jnp.take_along_axis(cnt > 0, chunk_idx, axis=1)
-    sort_key = jnp.where(chunk_valid, chunk_idx, Nb // cs + 1)
+    sort_key = jnp.where(chunk_valid, chunk_idx, Rc // cs + 1)
     chunk_idx = jnp.sort(sort_key, axis=1)
-    block_slot = (chunk_idx[:, :, None] * cs
-                  + jnp.arange(cs, dtype=jnp.int32)[None, None, :]
-                  ).reshape(B, cfg.topk)                       # (B, topk) slots
-    block_slot_safe = jnp.clip(block_slot, 0, Nb - 1)
-    sel_valid = (block_slot < kv.num_blocks[:, None])
-    return _gather_retrieved(kv, cfg, block_slot_safe, sel_valid)
+    abs_idx = (chunk_idx[:, :, None] * cs
+               + jnp.arange(cs, dtype=jnp.int32)[None, None, :]
+               ).reshape(B, cfg.topk)                          # (B, topk)
+    exists = abs_idx < kv.num_blocks[:, None]
+    return abs_idx, exists
 
 
 def _gather_retrieved(kv: StreamKV, cfg: ReKVConfig, block_slot_safe,

@@ -48,11 +48,13 @@ class StreamKV(NamedTuple):
     init_k: jax.Array     # (B, Hkv, n_init, D)
     init_v: jax.Array     # (B, Hkv, n_init, D)
 
-    # paged global store, ring-addressed by absolute block index % max_blocks
-    block_k: jax.Array    # (B, max_blocks, Hkv, S, D) unrotated
-    block_v: jax.Array    # (B, max_blocks, Hkv, S, D)
-    block_rep: jax.Array  # (B, max_blocks, Hkv, D) mean key per block
+    # append-only paged store; device slot = absolute page - page_offset
+    # (page_offset > 0 once old pages were evicted to the host tier)
+    block_k: jax.Array    # (B, Hkv, max_blocks, S, D) unrotated
+    block_v: jax.Array    # (B, Hkv, max_blocks, S, D)
+    block_rep: jax.Array  # (B, rep_cap, Hkv, D) mean key per ABSOLUTE block
     num_blocks: jax.Array  # (B,) int32 — total blocks ever appended
+    page_offset: jax.Array  # (B,) int32 — absolute index of device slot 0
 
     length: jax.Array     # (B,) int32 — total stream tokens appended
 

@@ -157,7 +157,8 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         from stc_tpu.kvcache.engine import make_rope_cache
         rc = make_rope_cache(kvs.length[0], kvs.num_blocks[0],
                              embeds.shape[1], rekv, cfg.head_dim,
-                             cfg.rope_base, n_pages=win_pages)
+                             cfg.rope_base, n_pages=win_pages,
+                             page_offset=kvs.page_offset[0])
 
     def body(h, xs):
         lp, kv = xs
@@ -251,6 +252,56 @@ def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
     return params["embed"][ids]
+
+
+def qa_layer_score(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
+                   h: jax.Array, n_tokens: jax.Array):
+    """Layerwise-QA phase 1: project this layer's qkv and score ALL blocks
+    (device + host history via the rep array).  Used when host-evicted pages
+    may be retrieved — the host fetch happens between dispatches."""
+    from stc_tpu.kvcache.engine import score_blocks
+    B, T, E = h.shape
+    q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
+    hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
+    q, k, v = _qkv(lp, hn, cfg)
+    abs_idx, exists = score_blocks(kv_l, q, rekv, q_valid)
+    return q, k, v, abs_idx, exists
+
+
+def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
+                    h: jax.Array, q, k, v, abs_idx, exists, use_host,
+                    host_k, host_v, n_tokens: jax.Array):
+    """Layerwise-QA phase 2: retrieved attention for one layer with
+    mixed-source blocks (device gather for resident pages, host-fetched
+    arrays for evicted ones).  Returns (h_next, dkv_k, dkv_v, cursor)."""
+    from stc_tpu.kvcache.engine import (_gather_retrieved, decode_attend,
+                                        decode_write, init_decode_kv)
+    B, T, E = h.shape
+    Nb = rekv.max_blocks
+    slot = jnp.clip(abs_idx - kv_l.page_offset[:, None], 0, Nb - 1)
+    ret_k, ret_v, _, valid_len = _gather_retrieved(kv_l, rekv, slot, exists)
+    # overlay host-fetched pages onto the gathered buffer
+    S = rekv.block_size
+    Hkv = host_k.shape[2]
+    D = host_k.shape[-1]
+    hk = host_k.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, rekv.topk * S, D)
+    hv = host_v.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, rekv.topk * S, D)
+    m = jnp.repeat(use_host, S, axis=1)[:, None, :, None]
+    ret_k = ret_k.at[:, :, rekv.n_init:].set(
+        jnp.where(m, hk, ret_k[:, :, rekv.n_init:]))
+    ret_v = ret_v.at[:, :, rekv.n_init:].set(
+        jnp.where(m, hv, ret_v[:, :, rekv.n_init:]))
+
+    dkv = init_decode_kv(rekv, B, Hkv, D, dtype=kv_l.block_k.dtype)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                       rope_base=cfg.rope_base)
+    dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)
+    q_slots = valid_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    o = decode_attend(q, q_slots, dkv_q, rekv, rope_base=cfg.rope_base)
+    h = h + _proj_out(lp, o, cfg)
+    hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
+    h = h + _mlp(lp, hn, cfg)
+    return h, dkv_q.k, dkv_q.v, valid_len
 
 
 def greedy_decode(params, cfg: Qwen2Config, rekv: ReKVConfig,

@@ -41,6 +41,7 @@ def stream_kv_specs() -> StreamKV:
         block_v=P(None, "dp", "tp", None, None, None),
         block_rep=P(None, "dp", None, "tp", None),
         num_blocks=P(None, "dp"),
+        page_offset=P(None, "dp"),
         length=P(None, "dp"),
     )
 

@@ -83,18 +83,52 @@ class StreamingSession:
             qw.greedy_decode, cfg=mc, rekv=rc),
             static_argnames=("max_new_tokens",), donate_argnames=("dkvs",))
         self._embed = jax.jit(qw.embed_tokens)
+        self._qa_score_l = jax.jit(functools.partial(
+            qw.qa_layer_score, cfg=mc, rekv=rc))
+        self._qa_attend_l = jax.jit(functools.partial(
+            qw.qa_layer_attend, cfg=mc, rekv=rc))
+
+        from stc_tpu.kvcache.engine import n_window_pages
+        self._window_pages = n_window_pages(rc)
+        # host-tier eviction quantum: a quarter of the store, but never so
+        # much that the local window would leave the device
+        self._evict_n = min(rc.max_blocks // 4,
+                            rc.max_blocks - self._window_pages)
 
         self.kvs = None
         self.clear_cache()
 
     # ------------------------------------------------------------------ #
     def clear_cache(self):
+        from stc_tpu.kvcache.host_tier import HostBlockStore
         self.kvs = qw.init_stream_state(self.mcfg, self.rekv, self.batch,
                                         self.state_dtype)
+        self.host_store = HostBlockStore()
+        self._total_blocks = 0
+        self._evicted_pages = 0
         self._pruner_state = None  # reset by the vision pipeline if attached
         if self.frame_encoder is not None and hasattr(self.frame_encoder,
                                                       "reset"):
             self.frame_encoder.reset()
+
+    # ------------------------------------------------------------------ #
+    def _maybe_evict(self, incoming_blocks: int):
+        """Offload the oldest device pages to host RAM before they would
+        overflow the store (reference MemoryUnit CPU offload)."""
+        rc = self.rekv
+        resident = self._total_blocks - self._evicted_pages
+        if resident + incoming_blocks <= rc.max_blocks:
+            return
+        from stc_tpu.kvcache.host_tier import evict_pages
+        E = self._evict_n
+        assert E > 0 and resident - E >= self._window_pages, (
+            "max_blocks too small for host-tier eviction margins")
+        ev_k, ev_v, self.kvs = evict_pages(self.kvs, E)
+        self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
+        self._evicted_pages += E
+
+    def _track_blocks(self, n: int):
+        self._total_blocks += n
 
     def encode_init_prompt(self, init_prompt_ids: Sequence[int]):
         ids = np.asarray(init_prompt_ids, dtype=np.int32).reshape(1, -1)
@@ -113,8 +147,10 @@ class StreamingSession:
         S = self.rekv.block_size
         assert T % S == 0, (T, S)
         for i in range(T // S):
+            self._maybe_evict(1)
             _, self.kvs = self._encode_block(
                 self.params, kvs=self.kvs, embeds=feats[:, i * S:(i + 1) * S])
+            self._track_blocks(1)
 
     def encode_video(self, frames):
         """frames: (n_frames, H, W, 3) uint8 — requires a frame_encoder."""
@@ -154,12 +190,17 @@ class StreamingSession:
         assert qlen <= qb
         q_ids = np.zeros((B, qb), dtype=np.int32)
         q_ids[:, :qlen] = np.asarray(question_ids, dtype=np.int32)
-        dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
-        dkvs = self._qa_retrieve(
-            self.params, kvs=self.kvs, dkvs=dkvs,
-            embeds=self._embed(self.params, jnp.asarray(q_ids)),
-            n_tokens=jnp.full((B,), qlen, jnp.int32),
-            retrieved_indices=ext_idx)
+        if self._evicted_pages > 0 and ext_idx is None:
+            # some pages live in host RAM: layer-by-layer retrieval with host
+            # fetches between dispatches (exact reference semantics)
+            dkvs = self._qa_retrieve_layerwise(q_ids, qlen)
+        else:
+            dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
+            dkvs = self._qa_retrieve(
+                self.params, kvs=self.kvs, dkvs=dkvs,
+                embeds=self._embed(self.params, jnp.asarray(q_ids)),
+                n_tokens=jnp.full((B,), qlen, jnp.int32),
+                retrieved_indices=ext_idx)
 
         # --- prompt prefill ---
         plen = len(prompt_ids)
@@ -183,6 +224,49 @@ class StreamingSession:
             stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
         n = int(np.asarray(count)[0])
         return [int(t) for t in np.asarray(tokens)[0, :n]]
+
+    # ------------------------------------------------------------------ #
+    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen: int):
+        """Question forward with per-layer host-tier fetches.
+
+        One (score, fetch, attend) round per layer: scoring ranks the FULL
+        block history via the on-device rep array; pages already evicted to
+        host RAM are fetched between the two dispatches.  Exact reference
+        semantics (each layer retrieves with its own question queries)."""
+        assert self.batch == 1, "layerwise QA currently supports batch=1"
+        rc = self.rekv
+        mc = self.mcfg
+        n_tok = jnp.full((1,), qlen, jnp.int32)
+        h = self._embed(self.params, jnp.asarray(q_ids))
+        S, Hkv, D = rc.block_size, mc.num_kv_heads, mc.head_dim
+
+        dk, dv, cur = [], [], []
+        for l in range(mc.num_layers):
+            lp = jax.tree.map(lambda x: x[l], self.params["layers"])
+            kv_l = jax.tree.map(lambda x: x[l], self.kvs)
+            q, k, v, abs_idx, exists = self._qa_score_l(
+                lp, kv_l=kv_l, h=h, n_tokens=n_tok)
+            abs_np = np.asarray(abs_idx)[0]
+            exists_np = np.asarray(exists)[0]
+            use_host = exists_np & (abs_np < self._evicted_pages)
+            host_k = np.zeros((1, rc.topk, Hkv, S, D),
+                              dtype=np.asarray(self.kvs.block_k).dtype)
+            host_v = np.zeros_like(host_k)
+            if use_host.any():
+                hk, hv = self.host_store.fetch(l, 0, abs_np[use_host])
+                host_k[0, use_host] = hk
+                host_v[0, use_host] = hv
+            h, k_l, v_l, c_l = self._qa_attend_l(
+                lp, kv_l=kv_l, h=h, q=q, k=k, v=v, abs_idx=abs_idx,
+                exists=exists, use_host=jnp.asarray(use_host[None]),
+                host_k=jnp.asarray(host_k), host_v=jnp.asarray(host_v),
+                n_tokens=n_tok)
+            dk.append(k_l)
+            dv.append(v_l)
+            cur.append(c_l)
+        from stc_tpu.kvcache.state import DecodeKV
+        return DecodeKV(k=jnp.stack(dk), v=jnp.stack(dv),
+                        cursor=jnp.stack(cur))
 
     # ------------------------------------------------------------------ #
     def kv_memory_bytes(self) -> int:

@@ -123,7 +123,6 @@ class VLMSession(StreamingSession):
 
     def _reset_vision(self):
         self.chunk_idx = 0
-        self._blocks_host = 0
         self._vstate, self._pstate = self.vision.init_state()
 
     def clear_cache(self):
@@ -140,10 +139,13 @@ class VLMSession(StreamingSession):
             use_cached = (self.scfg.cacher.enabled
                           and self.chunk_idx % self.scfg.cacher.cache_interval
                           != 0)
-            bucket = self._bucket(self._blocks_host + len(chunk))
+            self._maybe_evict(len(chunk))
+            resident_after = (self._total_blocks + len(chunk)
+                              - self._evicted_pages)
+            bucket = self._bucket(resident_after)
             fn = self._get_frame_jit(use_cached, bucket)
             self.kvs, self._vstate, self._pstate = fn(
                 self._all_params, pixels, kvs=self.kvs,
                 vstate=self._vstate, pstate=self._pstate)
-            self._blocks_host += len(chunk)
+            self._track_blocks(len(chunk))
             self.chunk_idx += 1

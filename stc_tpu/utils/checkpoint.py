@@ -23,18 +23,26 @@ def _flatten(tree) -> dict:
             "leaves": [np.asarray(leaf) for leaf in leaves]}
 
 
-def save_session_state(session, path: str):
-    state = {
+def _session_state(session):
+    return {
         "kvs": session.kvs,
         "chunk_idx": getattr(session, "chunk_idx", 0),
-        "blocks_host": getattr(session, "_blocks_host", 0),
+        "total_blocks": getattr(session, "_total_blocks", 0),
+        "evicted_pages": getattr(session, "_evicted_pages", 0),
         "vstate": getattr(session, "_vstate", ()),
         "pstate": getattr(session, "_pstate", ()),
     }
+
+
+def save_session_state(session, path: str):
+    state = _session_state(session)
     leaves, treedef = jax.tree.flatten(state)
     arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    arrs["__treedef__"] = np.frombuffer(
-        str(treedef).encode(), dtype=np.uint8)
+    hs = getattr(session, "host_store", None)
+    if hs is not None and hs.total_pages:
+        for i, (hk, hv) in enumerate(zip(hs.k_chunks, hs.v_chunks)):
+            arrs[f"host_k_{i}"] = hk
+            arrs[f"host_v_{i}"] = hv
     np.savez_compressed(path, **arrs)
     return path
 
@@ -45,13 +53,7 @@ def load_session_state(session, path: str):
     The session must be built with the same configs (shapes must match —
     validated leaf by leaf)."""
     data = np.load(path, allow_pickle=False)
-    state = {
-        "kvs": session.kvs,
-        "chunk_idx": getattr(session, "chunk_idx", 0),
-        "blocks_host": getattr(session, "_blocks_host", 0),
-        "vstate": getattr(session, "_vstate", ()),
-        "pstate": getattr(session, "_pstate", ()),
-    }
+    state = _session_state(session)
     leaves, treedef = jax.tree.flatten(state)
     new_leaves = []
     for i, old in enumerate(leaves):
@@ -67,8 +69,13 @@ def load_session_state(session, path: str):
     state = jax.tree.unflatten(treedef, new_leaves)
     session.kvs = state["kvs"]
     session.chunk_idx = int(state["chunk_idx"])
-    if hasattr(session, "_blocks_host"):
-        session._blocks_host = int(state["blocks_host"])
+    session._total_blocks = int(state["total_blocks"])
+    session._evicted_pages = int(state["evicted_pages"])
+    if hasattr(session, "_vstate"):
         session._vstate = state["vstate"]
         session._pstate = state["pstate"]
+    i = 0
+    while f"host_k_{i}" in data:
+        session.host_store.append(data[f"host_k_{i}"], data[f"host_v_{i}"])
+        i += 1
     return session

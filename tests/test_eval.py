@@ -259,3 +259,16 @@ def test_streamingbench_sqa_and_proactive_scorers():
     assert s["p"]["total"] == 2
     assert s["p"]["time_correct"] == 1 and s["p"]["answer_correct"] == 1
     assert s["p"]["time_accuracy"] == 0.5
+
+
+def test_open_ended_accuracy():
+    from stc_tpu.eval.scorers import open_ended_accuracy
+    rows = [
+        {"answer": "a red car", "pred_answer": "I see a red car."},
+        {"answer": "blue", "pred_answer": "green"},
+        {"answer": None, "pred_answer": "x"},          # unanswerable: skipped
+    ]
+    s = open_ended_accuracy(rows)
+    assert s["n"] == 2 and s["accuracy"] == 50.0
+    s = open_ended_accuracy(rows, judge=lambda q, a, p: True)
+    assert s["accuracy"] == 100.0

@@ -1,0 +1,99 @@
+"""Host-memory KV tier: eviction + layerwise QA must match an all-device
+session exactly (same stream, bigger max_blocks, no eviction)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stc_tpu.config import ReKVConfig, SessionConfig
+from stc_tpu.models import qwen2 as qw
+from stc_tpu.runtime.session import StreamingSession
+
+
+def make_sess(max_blocks, seed=0):
+    mcfg = qw.Qwen2Config.tiny()
+    rekv = ReKVConfig(n_init=6, n_local=128, block_size=8, exc_block_size=8,
+                      topk=4, chunk_size=1, max_blocks=max_blocks,
+                      max_rep_blocks=256,
+                      max_prompt_tokens=64, max_new_tokens=8)
+    params = qw.init_params(mcfg, jax.random.key(seed))
+    return StreamingSession(params, mcfg, SessionConfig(rekv=rekv),
+                            state_dtype=jnp.float32), mcfg
+
+
+def stream(sess, mcfg, n_blocks, seed=0):
+    rng = np.random.default_rng(seed)
+    sess.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, n_blocks * 8, mcfg.hidden_size)).astype(
+        np.float32)
+    sess.encode_video_features(feats)
+    return sess
+
+
+def test_eviction_triggers_and_stream_continues():
+    # W = round8(128/8+1) = 24 pages; max_blocks 32 -> evict quantum 8
+    sess, mcfg = make_sess(max_blocks=32)
+    stream(sess, mcfg, 40)
+    assert sess._evicted_pages > 0
+    assert sess.host_store.total_pages == sess._evicted_pages
+    resident = sess._total_blocks - sess._evicted_pages
+    assert resident <= 32
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 40
+    assert int(np.asarray(sess.kvs.page_offset)[0, 0]) == sess._evicted_pages
+
+
+def test_encode_outputs_match_all_device_session():
+    """Eviction must not change the encode-path attention (the window never
+    leaves the device)."""
+    sess_small, mcfg = make_sess(max_blocks=32, seed=1)
+    sess_big, _ = make_sess(max_blocks=256, seed=1)
+    rng = np.random.default_rng(1)
+    for s in (sess_small, sess_big):
+        s.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess_small.encode_video_features(feats)
+    sess_big.encode_video_features(feats)
+    assert sess_small._evicted_pages > 0
+    # compare the device-resident window pages (last W) against the big store
+    off = sess_small._evicted_pages
+    small_k = np.asarray(sess_small.kvs.block_k)[:, :, :, :40 - off]
+    big_k = np.asarray(sess_big.kvs.block_k)[:, :, :, off:40]
+    np.testing.assert_allclose(small_k, big_k, rtol=1e-5, atol=1e-5)
+
+
+def test_layerwise_qa_matches_all_device_session():
+    sess_small, mcfg = make_sess(max_blocks=32, seed=2)
+    sess_big, _ = make_sess(max_blocks=256, seed=2)
+    rng = np.random.default_rng(2)
+    for s in (sess_small, sess_big):
+        s.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess_small.encode_video_features(feats)
+    sess_big.encode_video_features(feats)
+    assert sess_small._evicted_pages > 0
+    assert sess_big._evicted_pages == 0
+
+    # several distinct questions: answers must match the all-device session
+    # exactly, and at least one retrieval must actually hit host pages
+    for q in ([5, 6, 7], [40, 41], [99, 98, 97, 96], [1, 2, 3], [120]):
+        p = q + [8]
+        ans_small = sess_small.question_answering(q, p, [0], max_new_tokens=6)
+        ans_big = sess_big.question_answering(q, p, [0], max_new_tokens=6)
+        assert ans_small == ans_big, q
+    assert sess_small.host_store.fetch_count > 0
+
+
+def test_checkpoint_roundtrip_with_host_tier(tmp_path):
+    from stc_tpu.utils.checkpoint import (load_session_state,
+                                          save_session_state)
+    sess, mcfg = make_sess(max_blocks=32, seed=3)
+    stream(sess, mcfg, 40, seed=3)
+    ans = sess.question_answering([1, 2], [1, 2, 3], [0], max_new_tokens=4)
+    save_session_state(sess, str(tmp_path / "s.npz"))
+
+    sess2, _ = make_sess(max_blocks=32, seed=3)
+    load_session_state(sess2, str(tmp_path / "s.npz"))
+    assert sess2._evicted_pages == sess._evicted_pages
+    assert sess2.host_store.total_pages == sess.host_store.total_pages
+    ans2 = sess2.question_answering([1, 2], [1, 2, 3], [0], max_new_tokens=4)
+    assert ans == ans2
