@@ -79,6 +79,8 @@ class CacherConfig:
     strategy: str = "cacher"          # 'none' | 'cacher'
     update_token_ratio: float = 0.25  # fraction of ViT tokens recomputed on cached chunks
     cache_interval: int = 2           # full recompute every Nth chunk
+    sim_source: str = "key"           # 'key' | 'value' similarity gating
+                                      # (reference custom_siglip variants)
 
     @property
     def enabled(self) -> bool:

@@ -199,7 +199,8 @@ class LlavaOVVision:
 
     def cached(self, params, pixels, vstate, pstate):
         feats = sg.encode_cached(params["vision"], self.cfg.vision, pixels,
-                                 vstate, self.scfg.cacher.update_token_ratio)
+                                 vstate, self.scfg.cacher.update_token_ratio,
+                                 sim_source=self.scfg.cacher.sim_source)
         flat, pstate = self._post(params, feats, pstate)
         return flat, vstate, pstate
 

@@ -165,8 +165,11 @@ def _layer_full(lp, h, cfg: SiglipConfig):
     return h, (k_full, v_full, attn, mlp)
 
 
-def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
-    """Selective-recompute layer (custom_siglip.py:115-224).
+def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
+                  sim_source: str = "key"):
+    """Selective-recompute layer (custom_siglip.py:115-224; the V-similarity
+    variant of custom_siglip.py:260-447 gates on fresh-V-vs-reference-V
+    instead).
 
     h: (F, T, C) current chunk frames; refs: per-layer reference activations
     (F_ref==1 broadcastable (1, T, C) slices).
@@ -178,11 +181,18 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
     hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
     k_full = hn @ lp["wk"] + lp["bk"]                       # (F, T, C)
 
-    # cosine similarity of fresh K vs reference K, per token
-    kf = k_full.astype(jnp.float32)
-    rf = ref_k.astype(jnp.float32)
-    sim = jnp.sum(kf * rf, axis=-1) / (
-        jnp.linalg.norm(kf, axis=-1) * jnp.linalg.norm(rf, axis=-1) + 1e-8)
+    def _cos(a, ref):
+        af = a.astype(jnp.float32)
+        rf = ref.astype(jnp.float32)
+        return jnp.sum(af * rf, axis=-1) / (
+            jnp.linalg.norm(af, axis=-1)
+            * jnp.linalg.norm(rf, axis=-1) + 1e-8)
+
+    if sim_source == "value":
+        v_fresh = hn @ lp["wv"] + lp["bv"]
+        sim = _cos(v_fresh, ref_v)
+    else:
+        sim = _cos(k_full, ref_k)
 
     # least-similar tokens get recomputed
     _, upd_idx = jax.lax.top_k(-sim, num_update)            # (F, U)
@@ -191,9 +201,12 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig):
 
     toks = hn[frow, upd_idx]                                 # row gather (F,U,C)
     q_sel = toks @ lp["wq"] + lp["bq"]
-    v_sel = toks @ lp["wv"] + lp["bv"]
-
-    v_full = _scatter_tokens(jnp.broadcast_to(ref_v, (F_, T, C)), upd_idx, v_sel)
+    if sim_source == "value":
+        v_full = v_fresh
+    else:
+        v_sel = toks @ lp["wv"] + lp["bv"]
+        v_full = _scatter_tokens(jnp.broadcast_to(ref_v, (F_, T, C)),
+                                 upd_idx, v_sel)
 
     attn_sel = _attn_full(q_sel, k_full, v_full, cfg.num_heads)
     attn_sel = attn_sel @ lp["wo"] + lp["bo"]               # (F, U, C)
@@ -243,7 +256,8 @@ def encode_full(params, cfg: SiglipConfig, pixels: jax.Array,
 
 
 def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
-                  cacher: CacherState, update_ratio: float) -> jax.Array:
+                  cacher: CacherState, update_ratio: float,
+                  sim_source: str = "key") -> jax.Array:
     """Selective-recompute chunk: returns features; cacher unchanged."""
     num_update = max(1, min(int(cfg.num_tokens * update_ratio),
                             cfg.num_tokens))
@@ -251,7 +265,8 @@ def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
 
     def body(h, xs):
         lp, rk, rv, ra, rm = xs
-        h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg)
+        h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg,
+                          sim_source)
         return h, None
 
     h, _ = jax.lax.scan(body, h, (params["layers"], cacher.ref_k,

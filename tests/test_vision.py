@@ -180,3 +180,25 @@ def test_frame_encoder_pipeline():
 
     enc.reset()
     assert enc.chunk_idx == 0
+
+
+def test_cacher_value_similarity_variant(hf_siglip):
+    """sim_source='value' (reference V-similarity variant): ratio=1.0 must
+    also equal the full path, and selections generally differ from 'key'."""
+    _, cfg, params = hf_siglip
+    rng = np.random.default_rng(7)
+    ref = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    new = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    cacher = sg.init_cacher_state(cfg, 1)
+    _, cacher = sg.encode_full(params, cfg, jnp.asarray(ref), cacher)
+    got = sg.encode_cached(params, cfg, jnp.asarray(new), cacher,
+                           update_ratio=1.0, sim_source="value")
+    want, _ = sg.encode_full(params, cfg, jnp.asarray(new),
+                             sg.init_cacher_state(cfg, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+    a = sg.encode_cached(params, cfg, jnp.asarray(new), cacher,
+                         update_ratio=0.25, sim_source="value")
+    b = sg.encode_cached(params, cfg, jnp.asarray(new), cacher,
+                         update_ratio=0.25, sim_source="key")
+    assert not np.allclose(np.asarray(a), np.asarray(b))
