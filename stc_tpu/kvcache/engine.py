@@ -329,24 +329,28 @@ def _stream_attention(q_rot, q_one, k_init, v_init, m_init,
     def q_g(qx):
         return qx.reshape(B, Hkv, G, T, D)
 
+    # fold the two window-rotated groups into ONE key buffer (this platform
+    # taxes each fused op ~40-90us, so fewer/larger ops win):
+    #   [init-local (nI) | window (W*S) | init-far (nI)]
+    # the far group uses the one-angle query, all others the window query.
+    k_all = jnp.concatenate(
+        [k_init, k_win.reshape(B, Hkv, W * S, D), k_init_raw], axis=2)
+    v_all = jnp.concatenate(
+        [v_init, v_win.reshape(B, Hkv, W * S, D), v_init_raw], axis=2)
+
     # matmuls stay in the input dtype (bf16 on TPU) with fp32 accumulation —
     # no materialized fp32 copies of K/V
-    lg_init = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_rot), k_init,
-                         preferred_element_type=f32).reshape(B, Hq, T, nI)
-    lg_init = jnp.where(m_init, lg_init * scale, NEG_INF)
-
-    lg_win = jnp.einsum("bhgqd,bhwsd->bhgqws", q_g(q_rot), k_win,
-                        preferred_element_type=f32)
-    lg_win = lg_win.reshape(B, Hq, T, W, S)
-    m_win_h = jnp.broadcast_to(m_win, (B, 1, T, W, S))
-    lg_win = jnp.where(m_win_h, lg_win * scale, NEG_INF).reshape(B, Hq, T, W * S)
-
+    lg = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_rot), k_all,
+                    preferred_element_type=f32).reshape(B, Hq, T, -1)
     lg_far = jnp.einsum("bhgqd,bhkd->bhgqk", q_g(q_one), k_init_raw,
                         preferred_element_type=f32).reshape(B, Hq, T, nI)
-    m_far = jnp.broadcast_to(init_active[:, None, None, None], (B, 1, T, nI))
-    lg_far = jnp.where(m_far, lg_far * scale, NEG_INF)
+    lg = lg.at[..., nI + W * S:].set(lg_far)
 
-    logits = jnp.concatenate([lg_init, lg_win, lg_far], axis=-1)
+    m_far = jnp.broadcast_to(init_active[:, None, None, None], (B, 1, T, nI))
+    mask = jnp.concatenate(
+        [m_init, jnp.broadcast_to(m_win, (B, 1, T, W, S)
+                                  ).reshape(B, 1, T, W * S), m_far], axis=-1)
+    logits = jnp.where(mask, lg * scale, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
     p = jnp.exp(logits - m)
@@ -356,17 +360,9 @@ def _stream_attention(q_rot, q_one, k_init, v_init, m_init,
     # finite-m clamp above, and every row has at least its own token)
     p = (p / denom).astype(q_rot.dtype)
 
-    def p_g(px):
-        return px.reshape(B, Hkv, G, T, px.shape[-1])
-
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p[..., :nI]), v_init,
+    out = jnp.einsum("bhgqk,bhkd->bhgqd",
+                     p.reshape(B, Hkv, G, T, -1), v_all,
                      preferred_element_type=f32)
-    out = out + jnp.einsum(
-        "bhgqws,bhwsd->bhgqd",
-        p_g(p[..., nI:nI + W * S]).reshape(B, Hkv, G, T, W, S), v_win,
-        preferred_element_type=f32)
-    out = out + jnp.einsum("bhgqk,bhkd->bhgqd", p_g(p[..., nI + W * S:]),
-                           v_init_raw, preferred_element_type=f32)
     return out.reshape(B, Hq, T, D).astype(q_rot.dtype)
 
 
