@@ -58,6 +58,71 @@ def tome_merge(metric: jax.Array, x: jax.Array, sizes: jax.Array, r: int
     return merged.astype(x.dtype), wsum.astype(sizes.dtype), keep
 
 
+def sttm_merge(frame_tokens: jax.Array, token_budget: int,
+               similarity_threshold: float = 0.85) -> jax.Array:
+    """Quadtree-flavoured spatial token merging with a fixed budget
+    (reference experiment/sttm.py, static-shape formulation).
+
+    frame_tokens: (H*W, C) single-frame tokens on a square grid.
+    Spatially homogeneous 2x2 cells (children cosine-similar to their mean
+    above the threshold) are represented by their mean; the budget is met by
+    keeping the `token_budget` LEAST-mergeable tokens at full resolution and
+    the coarsest summaries elsewhere.  Returns (token_budget, C).
+    """
+    N, C = frame_tokens.shape
+    H = int(N ** 0.5)
+    assert H * H == N, "square token grid expected"
+    x = frame_tokens.astype(jnp.float32).reshape(H, W := H, C)
+
+    # one pyramid level: 2x2 cell means + per-token similarity to cell mean
+    h2 = H // 2
+    cells = x[: h2 * 2, : h2 * 2].reshape(h2, 2, h2, 2, C)
+    mean = cells.mean(axis=(1, 3), keepdims=True)
+    sim = (cells * mean).sum(-1) / jnp.maximum(
+        jnp.linalg.norm(cells, axis=-1) * jnp.linalg.norm(mean, axis=-1),
+        1e-8)
+    cell_min_sim = sim.min(axis=(1, 3))               # (h2, h2)
+    # per-token mergeability = its cell's cohesion (high = safe to merge)
+    merge_score = jnp.repeat(jnp.repeat(cell_min_sim, 2, 0), 2, 1)
+    merge_score = jnp.pad(merge_score, ((0, H - h2 * 2), (0, H - h2 * 2)),
+                          constant_values=-1.0).reshape(-1)
+
+    # keep the least-mergeable tokens; replace the rest with their cell mean
+    _, keep_idx = jax.lax.top_k(-merge_score, token_budget)
+    keep_idx = jnp.sort(keep_idx)
+    means_full = jnp.repeat(jnp.repeat(mean[:, 0, :, 0], 2, 0), 2, 1)
+    means_full = jnp.pad(means_full,
+                         ((0, H - h2 * 2), (0, H - h2 * 2), (0, 0)))
+    merged = jnp.where((merge_score >= similarity_threshold)[:, None],
+                       means_full.reshape(-1, C), x.reshape(-1, C))
+    return merged[keep_idx].astype(frame_tokens.dtype)
+
+
+def kmeans_select(x: jax.Array, n_clusters: int, iters: int = 10,
+                  key=None) -> Tuple[jax.Array, jax.Array]:
+    """k-means token reduction (reference experiment/k-means.py):
+    returns (centroids (n_clusters, C), assignment (N,))."""
+    N, C = x.shape
+    xf = x.astype(jnp.float32)
+    if key is None:
+        key = jax.random.key(0)
+    init_idx = jax.random.choice(key, N, (n_clusters,), replace=False)
+    cent = xf[init_idx]
+
+    def step(cent, _):
+        d2 = jnp.sum((xf[:, None] - cent[None]) ** 2, axis=-1)
+        assign = jnp.argmin(d2, axis=1)
+        s = jnp.zeros_like(cent).at[assign].add(xf)
+        cnt = jnp.zeros((n_clusters,), jnp.float32).at[assign].add(1.0)
+        cent = jnp.where(cnt[:, None] > 0, s / jnp.maximum(cnt, 1.0)[:, None],
+                         cent)
+        return cent, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    d2 = jnp.sum((xf[:, None] - cent[None]) ** 2, axis=-1)
+    return cent.astype(x.dtype), jnp.argmin(d2, axis=1)
+
+
 def dbdpc_reduce(x: jax.Array, n_keep: int, k: int = 5
                  ) -> Tuple[jax.Array, jax.Array]:
     """Density-based clustering reduction: pick n_keep density peaks with

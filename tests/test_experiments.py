@@ -41,3 +41,34 @@ def test_dbdpc_reduce_clusters():
     reduced = np.asarray(reduced)
     means = sorted(reduced[:, 0])
     assert means[0] < -4.5 and means[1] > 4.5
+
+
+def test_sttm_merge_budget_and_homogeneity():
+    from stc_tpu.compress.experiments import sttm_merge
+    rng = np.random.default_rng(3)
+    # 4x4 grid: top-left 2x2 cell identical tokens (mergeable), rest random
+    x = rng.normal(size=(16, 8)).astype(np.float32)
+    x[0] = x[1] = x[4] = x[5] = x[0]
+    out = sttm_merge(jnp.asarray(x), token_budget=8)
+    assert out.shape == (8, 8)
+    # heterogeneous tokens survive at full resolution: every kept row is
+    # either an original token or the homogeneous cell's mean
+    kept = np.asarray(out)
+    orig = {tuple(np.round(r, 4)) for r in x}
+    cellmean = tuple(np.round(x[[0, 1, 4, 5]].mean(0), 4))
+    for r in kept:
+        t = tuple(np.round(r, 4))
+        assert t in orig or t == cellmean
+
+
+def test_kmeans_select_two_clusters():
+    from stc_tpu.compress.experiments import kmeans_select
+    rng = np.random.default_rng(4)
+    a = rng.normal(scale=0.05, size=(12, 3)) + np.array([4, 0, 0])
+    b = rng.normal(scale=0.05, size=(12, 3)) - np.array([4, 0, 0])
+    x = np.concatenate([a, b]).astype(np.float32)
+    cent, assign = kmeans_select(jnp.asarray(x), 2, key=__import__("jax").random.key(1))
+    cent = np.asarray(cent)
+    assert sorted(np.round(cent[:, 0])) == [-4.0, 4.0]
+    assign = np.asarray(assign)
+    assert len(set(assign[:12])) == 1 and len(set(assign[12:])) == 1

@@ -69,3 +69,29 @@ def test_clear_cache_resets():
     sess.clear_cache()
     assert int(np.asarray(sess.kvs.length).max()) == 0
     assert int(np.asarray(sess.kvs.num_blocks).max()) == 0
+
+
+def test_multi_stream_session_batch4():
+    """Engine-level multi-stream ingest: 4 independent streams in one session
+    (SURVEY north-star config #5, engine side)."""
+    mcfg = qw.Qwen2Config.tiny()
+    rekv = ReKVConfig(n_init=6, n_local=512, block_size=8, exc_block_size=8,
+                      topk=4, chunk_size=1, max_blocks=128,
+                      max_prompt_tokens=64, max_new_tokens=16)
+    params = qw.init_params(mcfg, jax.random.key(9))
+    sess = StreamingSession(params, mcfg, SessionConfig(rekv=rekv),
+                            batch=4, state_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    sess.encode_init_prompt(list(range(6)))
+    # different features per stream
+    feats = rng.normal(size=(4, 5 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    assert list(np.asarray(sess.kvs.num_blocks)[0]) == [5, 5, 5, 5]
+
+    out = sess.question_answering([5, 6, 7], [5, 6, 7, 8],
+                                  stop_token_ids=[0], max_new_tokens=6)
+    assert 1 <= len(out) <= 6
+    # per-stream retrieval state is independent: stream KV for stream 0 and 1
+    # hold different content
+    bk = np.asarray(sess.kvs.block_k)
+    assert not np.allclose(bk[0, 0], bk[0, 1])
