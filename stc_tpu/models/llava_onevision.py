@@ -162,45 +162,59 @@ class FrameEncoder:
 
 class LlavaOVVision:
     """llava-ov vision strategy: SigLIP(+STC-Cacher) -> projector -> 2x
-    bilinear pooling -> STC-Pruner."""
+    bilinear pooling -> STC-Pruner.  Supports B parallel streams (frames are
+    stream-major on the tower's batch axis; cacher refs + pruner memory are
+    per stream)."""
 
     def __init__(self, cfg: LlavaOVConfig, scfg: SessionConfig,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, batch: int = 1):
         from stc_tpu.runtime.vlm import make_preprocessor
         self.cfg = cfg
         self.scfg = scfg
         self.dtype = dtype
-        self.preprocess = make_preprocessor(cfg.vision.image_size,
-                                            IMAGE_MEAN, IMAGE_STD, dtype)
+        self.batch = batch
+        self._pre1 = make_preprocessor(cfg.vision.image_size,
+                                       IMAGE_MEAN, IMAGE_STD, dtype)
+
+    def preprocess(self, frames):
+        frames = np.asarray(frames)
+        if frames.ndim == 5:  # (B, F, H, W, 3) multi-stream
+            B, F = frames.shape[:2]
+            return self._pre1(frames.reshape((B * F,) + frames.shape[2:]))
+        return self._pre1(frames)
 
     def init_state(self):
-        return (sg.init_cacher_state(self.cfg.vision, 1, self.dtype),
+        return (sg.init_cacher_state(self.cfg.vision, self.batch, self.dtype),
                 init_pruner_state(
-                    1, int(self.cfg.text.hidden_size
-                           * self.scfg.pruner.channel_keep_ratio)))
+                    self.batch, int(self.cfg.text.hidden_size
+                                    * self.scfg.pruner.channel_keep_ratio)))
 
     def _post(self, params, feats, pstate):
+        B = self.batch
         feats = project(params["projector"], feats)
         feats = apply_pooling(feats, self.cfg.vision.grid)
+        BF, T, E = feats.shape
+        feats = feats.reshape(B, BF // B, T, E)
         if self.scfg.pruner.enabled:
             pruned, _, pstate = stc_prune(
-                feats[None], pstate,
+                feats, pstate,
                 keep_per_frame=self.scfg.pruner.token_per_frame,
                 channel_keep_ratio=self.scfg.pruner.channel_keep_ratio)
             _, F_, K, E = pruned.shape
-            return pruned.reshape(1, F_ * K, E), pstate
-        return feats.reshape(1, -1, feats.shape[-1]), pstate
+            return pruned.reshape(B, F_ * K, E), pstate
+        return feats.reshape(B, -1, E), pstate
 
     def full(self, params, pixels, vstate, pstate):
         feats, vstate = sg.encode_full(params["vision"], self.cfg.vision,
-                                       pixels, vstate)
+                                       pixels, vstate, n_streams=self.batch)
         flat, pstate = self._post(params, feats, pstate)
         return flat, vstate, pstate
 
     def cached(self, params, pixels, vstate, pstate):
         feats = sg.encode_cached(params["vision"], self.cfg.vision, pixels,
                                  vstate, self.scfg.cacher.update_token_ratio,
-                                 sim_source=self.scfg.cacher.sim_source)
+                                 sim_source=self.scfg.cacher.sim_source,
+                                 n_streams=self.batch)
         flat, pstate = self._post(params, feats, pstate)
         return flat, vstate, pstate
 
@@ -208,18 +222,18 @@ class LlavaOVVision:
 class LlavaOVSession(VLMSession):
     def __init__(self, params: Dict[str, Any], cfg: LlavaOVConfig,
                  scfg: SessionConfig, state_dtype=jnp.bfloat16,
-                 vision_dtype=jnp.float32):
+                 vision_dtype=jnp.float32, batch: int = 1):
         self.ovcfg = cfg
         super().__init__(params, cfg.text, scfg,
-                         LlavaOVVision(cfg, scfg, vision_dtype),
-                         state_dtype=state_dtype)
+                         LlavaOVVision(cfg, scfg, vision_dtype, batch=batch),
+                         state_dtype=state_dtype, batch=batch)
 
 
 def build_session(params: Dict[str, Any], cfg: LlavaOVConfig,
                   scfg: SessionConfig, state_dtype=jnp.bfloat16,
-                  vision_dtype=jnp.float32) -> StreamingSession:
+                  vision_dtype=jnp.float32, batch: int = 1) -> StreamingSession:
     return LlavaOVSession(params, cfg, scfg, state_dtype=state_dtype,
-                          vision_dtype=vision_dtype)
+                          vision_dtype=vision_dtype, batch=batch)
 
 
 def init_random_params(cfg: LlavaOVConfig, key, dtype=jnp.float32):

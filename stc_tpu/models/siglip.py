@@ -239,15 +239,21 @@ def _scatter_tokens(base: jax.Array, idx: jax.Array, vals: jax.Array):
 # ---------------------------------------------------------------------------
 
 def encode_full(params, cfg: SiglipConfig, pixels: jax.Array,
-                cacher: CacherState) -> Tuple[jax.Array, CacherState]:
-    """Full-compute chunk: returns (features (F, T, C) of the last encoder
-    layer, refreshed cacher state).  Frames ride the batch axis."""
+                cacher: CacherState, n_streams: int = 1
+                ) -> Tuple[jax.Array, CacherState]:
+    """Full-compute chunk: returns (features (B*F, T, C) of the last encoder
+    layer, refreshed cacher state).  Frames ride the batch axis; with
+    n_streams > 1 the leading axis is stream-major (B*F) and each stream's
+    LAST frame becomes its reference."""
     h = patch_embed(params, pixels, cfg)
+    T, C = cfg.num_tokens, cfg.hidden_size
 
     def body(h, lp):
         h, (k, v, a, m) = _layer_full(lp, h, cfg)
-        # save the LAST frame of the chunk as the reference
-        return h, (k[-1:], v[-1:], a[-1:], m[-1:])
+        # save the LAST frame per stream as the reference
+        def last(x):
+            return x.reshape(n_streams, -1, T, C)[:, -1]
+        return h, (last(k), last(v), last(a), last(m))
 
     h, refs = jax.lax.scan(body, h, params["layers"])
     new_cacher = CacherState(ref_k=refs[0], ref_v=refs[1],
@@ -257,16 +263,28 @@ def encode_full(params, cfg: SiglipConfig, pixels: jax.Array,
 
 def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
                   cacher: CacherState, update_ratio: float,
-                  sim_source: str = "key") -> jax.Array:
-    """Selective-recompute chunk: returns features; cacher unchanged."""
+                  sim_source: str = "key", n_streams: int = 1) -> jax.Array:
+    """Selective-recompute chunk: returns features; cacher unchanged.
+
+    With n_streams > 1, frames are stream-major on the leading axis and each
+    stream gates against ITS OWN reference frame (vmapped over streams)."""
     num_update = max(1, min(int(cfg.num_tokens * update_ratio),
                             cfg.num_tokens))
     h = patch_embed(params, pixels, cfg)
+    BF, T, C = h.shape
 
     def body(h, xs):
         lp, rk, rv, ra, rm = xs
-        h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg,
-                          sim_source)
+        if n_streams == 1:
+            h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg,
+                              sim_source)
+        else:
+            hb = h.reshape(n_streams, BF // n_streams, T, C)
+            h = jax.vmap(
+                lambda hs, a, b, c, d: _layer_cached(
+                    lp, hs, (a[None], b[None], c[None], d[None]),
+                    num_update, cfg, sim_source)
+            )(hb, rk, rv, ra, rm).reshape(BF, T, C)
         return h, None
 
     h, _ = jax.lax.scan(body, h, (params["layers"], cacher.ref_k,

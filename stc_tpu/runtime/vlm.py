@@ -74,10 +74,11 @@ class VisionPipeline:
 
 class VLMSession(StreamingSession):
     def __init__(self, params: Dict[str, Any], text_cfg, scfg: SessionConfig,
-                 vision: VisionPipeline, state_dtype=jnp.bfloat16):
+                 vision: VisionPipeline, state_dtype=jnp.bfloat16,
+                 batch: int = 1):
         self._all_params = params
         self.vision = vision
-        super().__init__(params["text"], text_cfg, scfg,
+        super().__init__(params["text"], text_cfg, scfg, batch=batch,
                          state_dtype=state_dtype)
         rekv = scfg.rekv
         from stc_tpu.kvcache.engine import n_window_pages
@@ -131,21 +132,30 @@ class VLMSession(StreamingSession):
             self._reset_vision()
 
     def encode_video(self, frames):
+        """frames: (n, H, W, 3) single stream or (B, n, H, W, 3) multi-stream
+        (B must equal the session batch)."""
         frames = np.asarray(frames)
+        if frames.ndim == 5:
+            assert frames.shape[0] == self.batch, (frames.shape, self.batch)
+        elif self.batch > 1:
+            raise ValueError("multi-stream session needs (B, n, H, W, 3)")
         n = self.scfg.encode_chunk_frames
-        for s in range(0, frames.shape[0], n):
-            chunk = frames[s:s + n]
+        frame_axis = 1 if frames.ndim == 5 else 0
+        for s in range(0, frames.shape[frame_axis], n):
+            chunk = (frames[:, s:s + n] if frames.ndim == 5
+                     else frames[s:s + n])
             pixels = self.vision.preprocess(chunk)
             use_cached = (self.scfg.cacher.enabled
                           and self.chunk_idx % self.scfg.cacher.cache_interval
                           != 0)
-            self._maybe_evict(len(chunk))
-            resident_after = (self._total_blocks + len(chunk)
+            n_frames = chunk.shape[frame_axis]
+            self._maybe_evict(n_frames)
+            resident_after = (self._total_blocks + n_frames
                               - self._evicted_pages)
             bucket = self._bucket(resident_after)
             fn = self._get_frame_jit(use_cached, bucket)
             self.kvs, self._vstate, self._pstate = fn(
                 self._all_params, pixels, kvs=self.kvs,
                 vstate=self._vstate, pstate=self._pstate)
-            self._track_blocks(len(chunk))
+            self._track_blocks(n_frames)
             self.chunk_idx += 1

@@ -88,3 +88,39 @@ def test_clear_cache_resets_vision_state():
     sess.clear_cache()
     assert sess.chunk_idx == 0
     assert int(np.asarray(sess.kvs.length).max()) == 0
+
+
+def test_multi_stream_vision_session():
+    """4 parallel streams through the FULL vision+LM pipeline (north-star
+    config #5, session level): per-stream cacher refs, pruner memory and KV;
+    stream 0's state must match a single-stream session fed the same frames."""
+    cfg = lo.LlavaOVConfig.tiny()
+    tpf = 3
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=128, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=64,
+                        max_prompt_tokens=32, max_new_tokens=8),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=tpf),
+    )
+    params = lo.init_random_params(cfg, jax.random.key(5))
+    rng = np.random.default_rng(5)
+    frames = rng.uniform(0, 255, size=(4, 4, 56, 56, 3)).astype(np.uint8)
+
+    multi = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32,
+                             batch=4)
+    multi.encode_init_prompt([1, 2, 3, 4])
+    multi.encode_video(frames)
+    assert list(np.asarray(multi.kvs.num_blocks)[0]) == [4, 4, 4, 4]
+
+    single = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32)
+    single.encode_init_prompt([1, 2, 3, 4])
+    single.encode_video(frames[0])
+    np.testing.assert_allclose(
+        np.asarray(multi.kvs.block_k)[:, 0], np.asarray(single.kvs.block_k)[:, 0],
+        rtol=2e-4, atol=2e-4)
+
+    out = multi.question_answering([5, 6], [5, 6, 7], stop_token_ids=[0],
+                                   max_new_tokens=4)
+    assert 1 <= len(out) <= 4
