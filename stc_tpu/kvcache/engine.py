@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from stc_tpu.config import ReKVConfig
 from stc_tpu.kvcache.state import StreamKV, DecodeKV
 from stc_tpu.ops.attention import multi_stage_attention, AttnStage
-from stc_tpu.ops.rope import apply_rope, apply_rope_one_angle, rope_cos_sin
+from stc_tpu.ops.rope import apply_rope, rope_cos_sin
 
 NEG_INF = float("-inf")
 

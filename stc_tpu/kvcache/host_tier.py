@@ -20,7 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from stc_tpu.config import ReKVConfig
 from stc_tpu.kvcache.state import StreamKV
 
 

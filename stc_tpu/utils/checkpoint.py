@@ -9,18 +9,9 @@ requirement the reference lacks.
 
 from __future__ import annotations
 
-import io
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-
-def _flatten(tree) -> dict:
-    leaves, treedef = jax.tree.flatten(tree)
-    return {"treedef": treedef,
-            "leaves": [np.asarray(leaf) for leaf in leaves]}
 
 
 def _session_state(session):
