@@ -122,9 +122,16 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 def _qkv(lp, h, cfg: Qwen2Config):
     B, T, E = h.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (h @ lp["wq"] + lp["bq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
-    k = (h @ lp["wk"] + lp["bk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
-    v = (h @ lp["wv"] + lp["bv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    if "wqkv" in lp:  # fused projection (fuse_params) — one matmul
+        qkv = h @ lp["wqkv"] + lp["bqkv"]
+        q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
+    else:
+        q = h @ lp["wq"] + lp["bq"]
+        k = h @ lp["wk"] + lp["bk"]
+        v = h @ lp["wv"] + lp["bv"]
+    q = q.reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
     return q, k, v
 
 
@@ -134,7 +141,26 @@ def _proj_out(lp, o, cfg: Qwen2Config):
 
 
 def _mlp(lp, h, cfg: Qwen2Config):
+    if "w_gateup" in lp:  # fused projection (fuse_params) — one matmul
+        gu = h @ lp["w_gateup"]
+        g, u = jnp.split(gu, 2, axis=-1)
+        return (jax.nn.silu(g) * u) @ lp["w_down"]
     return (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+
+
+def fuse_params(params):
+    """Precompute fused qkv / gate-up projection weights (fewer ops per
+    layer — this platform taxes each fused op ~40-90us, PLATFORM_NOTES.md).
+    Converters and tests keep the unfused layout; sessions fuse at build."""
+    lp = dict(params["layers"])
+    if "wqkv" in lp:
+        return params  # already fused
+    lp["wqkv"] = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=-1)
+    lp["bqkv"] = jnp.concatenate([lp["bq"], lp["bk"], lp["bv"]], axis=-1)
+    lp["w_gateup"] = jnp.concatenate([lp["w_gate"], lp["w_up"]], axis=-1)
+    for k in ("wq", "wk", "wv", "bq", "bk", "bv", "w_gate", "w_up"):
+        del lp[k]
+    return {**params, "layers": lp}
 
 
 # ---------------------------------------------------------------------------

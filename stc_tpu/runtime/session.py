@@ -52,7 +52,7 @@ class StreamingSession:
         state_dtype=jnp.bfloat16,
         frame_encoder: Optional[Callable] = None,
     ):
-        self.params = params
+        self.params = qw.fuse_params(params)
         self.mcfg = model_cfg
         self.scfg = session_cfg
         self.rekv = session_cfg.rekv
