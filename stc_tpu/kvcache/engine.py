@@ -17,10 +17,13 @@ Performance notes (TPU):
 - every write is page/row-granular (scatter window dims = whole KV rows);
   there are NO elementwise scatters in the hot path;
 - the local window is not a separate buffer: it is the last
-  ceil(n_local/S)+1 pages of the store, gathered by page index;
+  ceil(n_local/S)+1 pages of the append-only store — a CONTIGUOUS range read
+  with a dynamic_slice (XLA gathers run ~10x slower than slices here);
 - RoPE cos/sin tables are identical across decoder layers, so the model
   computes them once per step (make_rope_cache) and passes them through the
-  layer scan.
+  layer scan;
+- window size is bucketed to the actual stream length by the session
+  (win_pages), so early-stream attention never pays capacity cost.
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ Differences by design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -67,7 +68,7 @@ class StreamingSession:
 
         mc, rc = model_cfg, self.rekv
         self.attn_backend = _resolve_backend(
-            __import__("os").environ.get("STC_ATTN_BACKEND", "auto"))
+            os.environ.get("STC_ATTN_BACKEND", "auto"))
         self._encode_init = jax.jit(functools.partial(
             qw.encode_step, cfg=mc, rekv=rc, is_init=True),
             donate_argnames=("kvs",))

@@ -54,7 +54,7 @@ def make_preprocessor(image_size: int, mean, std, dtype):
 
 
 class VisionPipeline:
-    """Backbone-specific vision stack: frames -> (1, F*block_size, E)."""
+    """Backbone-specific vision stack: frames -> (B, F*block_size, E)."""
 
     def init_state(self):
         """-> (vision_state, pruner_state) pytrees."""
