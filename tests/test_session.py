@@ -95,3 +95,16 @@ def test_multi_stream_session_batch4():
     # hold different content
     bk = np.asarray(sess.kvs.block_k)
     assert not np.allclose(bk[0, 0], bk[0, 1])
+
+
+def test_qa_with_no_video_frames():
+    """Question at stream start (StreamingBench timestamp-0 edge): retrieval
+    over zero blocks must degrade to init-tokens-only context."""
+    sess, mcfg = make_session(3)
+    sess.encode_init_prompt(list(range(6)))
+    out = sess.question_answering([7, 8], [7, 8, 9], stop_token_ids=[0],
+                                  max_new_tokens=4)
+    assert 1 <= len(out) <= 4
+    # and encoding zero frames is a no-op
+    sess.encode_video_features(np.zeros((1, 0, mcfg.hidden_size), np.float32))
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == 0
