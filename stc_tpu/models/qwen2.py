@@ -280,6 +280,28 @@ def embed_tokens(params, ids: jax.Array) -> jax.Array:
     return params["embed"][ids]
 
 
+def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                    kvs: StreamKV, q_ids: jax.Array, q_len: jax.Array,
+                    p_ids: jax.Array, p_len: jax.Array,
+                    stop_ids: jax.Array, max_new_tokens: int):
+    """Whole QA in ONE dispatch: retrieval forward + prompt prefill + greedy
+    decode (sequential host round trips cost ~30ms each on this platform).
+
+    Returns (tokens (B, max_new_tokens), n_generated (B,)).
+    """
+    B = q_ids.shape[0]
+    dkvs = init_decode_state(cfg, rekv, B, kvs.block_k.dtype)
+    dkvs = qa_retrieve_step(params, cfg, rekv, kvs, dkvs,
+                            embed_tokens(params, q_ids), n_tokens=q_len)
+    logits, dkvs = decode_step(params, cfg, rekv, dkvs,
+                               embed_tokens(params, p_ids), p_len)
+    last = jnp.take_along_axis(logits, (p_len - 1)[:, None, None],
+                               axis=1)[:, 0]
+    tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
+                                     stop_ids, max_new_tokens)
+    return tokens, count
+
+
 def qa_layer_score(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
                    h: jax.Array, n_tokens: jax.Array):
     """Layerwise-QA phase 1: project this layer's qkv and score ALL blocks

@@ -83,6 +83,9 @@ class StreamingSession:
         self._greedy = jax.jit(functools.partial(
             qw.greedy_decode, cfg=mc, rekv=rc),
             static_argnames=("max_new_tokens",), donate_argnames=("dkvs",))
+        self._answer = jax.jit(functools.partial(
+            qw.answer_question, cfg=mc, rekv=rc),
+            static_argnames=("max_new_tokens",))
         self._embed = jax.jit(qw.embed_tokens)
         self._qa_score_l = jax.jit(functools.partial(
             qw.qa_layer_score, cfg=mc, rekv=rc))
@@ -191,38 +194,52 @@ class StreamingSession:
         assert qlen <= qb
         q_ids = np.zeros((B, qb), dtype=np.int32)
         q_ids[:, :qlen] = np.asarray(question_ids, dtype=np.int32)
+        plen = len(prompt_ids)
+        pb = _bucket(plen, rc.max_prompt_tokens)
+        assert plen <= pb, (plen, rc.max_prompt_tokens)
+        p_ids = np.zeros((B, pb), dtype=np.int32)
+        p_ids[:, :plen] = np.asarray(prompt_ids, dtype=np.int32)
+        stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
+        stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
+                                                    np.int32)
+
         if self._evicted_pages > 0 and ext_idx is None:
             # some pages live in host RAM: layer-by-layer retrieval with host
-            # fetches between dispatches (exact reference semantics)
+            # fetches between dispatches (exact reference semantics), then
+            # prefill + decode
             dkvs = self._qa_retrieve_layerwise(q_ids, qlen)
-        else:
+            logits, dkvs = self._decode(
+                self.params, dkvs=dkvs,
+                embeds=self._embed(self.params, jnp.asarray(p_ids)),
+                n_tokens=jnp.full((B,), plen, jnp.int32))
+            last = logits[:, plen - 1]
+            tokens, count, dkvs = self._greedy(
+                self.params, dkvs=dkvs, last_logits=last,
+                stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+        elif ext_idx is not None:
             dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
             dkvs = self._qa_retrieve(
                 self.params, kvs=self.kvs, dkvs=dkvs,
                 embeds=self._embed(self.params, jnp.asarray(q_ids)),
                 n_tokens=jnp.full((B,), qlen, jnp.int32),
                 retrieved_indices=ext_idx)
-
-        # --- prompt prefill ---
-        plen = len(prompt_ids)
-        pb = _bucket(plen, rc.max_prompt_tokens)
-        assert plen <= pb, (plen, rc.max_prompt_tokens)
-        p_ids = np.zeros((B, pb), dtype=np.int32)
-        p_ids[:, :plen] = np.asarray(prompt_ids, dtype=np.int32)
-        logits, dkvs = self._decode(
-            self.params, dkvs=dkvs,
-            embeds=self._embed(self.params, jnp.asarray(p_ids)),
-            n_tokens=jnp.full((B,), plen, jnp.int32))
-        last = logits[:, plen - 1]  # (B, V)
-
-        # --- on-device greedy decode (one dispatch for the whole answer;
-        # sequential host round trips cost ~30ms/token on this platform) ---
-        stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
-        stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
-                                                    np.int32)
-        tokens, count, dkvs = self._greedy(
-            self.params, dkvs=dkvs, last_logits=last,
-            stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+            logits, dkvs = self._decode(
+                self.params, dkvs=dkvs,
+                embeds=self._embed(self.params, jnp.asarray(p_ids)),
+                n_tokens=jnp.full((B,), plen, jnp.int32))
+            last = logits[:, plen - 1]
+            tokens, count, dkvs = self._greedy(
+                self.params, dkvs=dkvs, last_logits=last,
+                stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+        else:
+            # hot path: retrieval + prefill + greedy decode in ONE dispatch
+            tokens, count = self._answer(
+                self.params, kvs=self.kvs, q_ids=jnp.asarray(q_ids),
+                q_len=jnp.full((B,), qlen, jnp.int32),
+                p_ids=jnp.asarray(p_ids),
+                p_len=jnp.full((B,), plen, jnp.int32),
+                stop_ids=jnp.asarray(stop_arr),
+                max_new_tokens=max_new_tokens)
         n = int(np.asarray(count)[0])
         return [int(t) for t in np.asarray(tokens)[0, :n]]
 
