@@ -148,5 +148,9 @@ class SessionConfig:
             topk=int(os.getenv("STC_TOPK", "64")),
             block_size=tpf,
             exc_block_size=tpf,
+            max_blocks=int(os.getenv("STC_MAX_BLOCKS", "1024")),
+            # rep capacity bounds the retrievable stream length (frames);
+            # the session raises before silently exceeding it
+            max_rep_blocks=int(os.getenv("STC_MAX_REP_BLOCKS", "0")),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner)

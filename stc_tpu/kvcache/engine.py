@@ -174,7 +174,10 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
     ppt = pages_per_tile(S)
     n_read = W // ppt + 1
     start_tile = win_start // ppt                                # (B,)
-    cover_pages = (start_tile[:, None] * ppt
+    # cover pages are ABSOLUTE (positions depend on them); the kernel's
+    # BlockSpec indexes by the LOCAL start_tile, but rope tables and masks
+    # must account for host-evicted pages (page_offset)
+    cover_pages = (offset[:, None] + start_tile[:, None] * ppt
                    + jnp.arange(n_read * ppt, dtype=jnp.int32)[None, :])
     cover_pos = (cfg.n_init + cover_pages[:, :, None] * S
                  + jnp.arange(S, dtype=jnp.int32)[None, None, :])
@@ -248,7 +251,8 @@ def append_stream(
 
     assert T == S, (T, S)
     rc = rope_cache if rope_cache is not None else make_rope_cache(
-        kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages)
+        kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages,
+        page_offset=kv.page_offset)
 
     # ---- page write (before attention: queries must see themselves) ----
     # the store is append-only: slot == absolute block index, so the local
@@ -281,6 +285,7 @@ def append_stream(
             rc.start_tile,
             num_blocks,                  # total pages incl. the one written
             rc.init_active.astype(jnp.int32),
+            kv.page_offset,              # host-evicted pages (abs = local+off)
         ], axis=1).astype(jnp.int32)
         o = stream_attention(
             q_rot, q_one, block_k, block_v, rc.cos_cover, rc.sin_cover,

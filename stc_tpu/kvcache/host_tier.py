@@ -4,8 +4,10 @@ TPU-native equivalent of the reference's CPU offload
 (kv_cache_manager.py MemoryUnit/CudaCache + GLOBAL_STREAM loads): when the
 device page store fills, the oldest pages are pulled to host RAM and the
 device store is compacted (page_offset advances).  Representative keys stay
-on device for the FULL history (they are ~1/60th of the page bytes), so
-retrieval still scores every block ever seen; questions whose top-k hits
+on device for the FULL history (they are ~1/60th of the page bytes) PROVIDED
+ReKVConfig.max_rep_blocks is sized to the stream length — the session raises
+before a stream outgrows rep_cap, so retrieval provably scores every block
+ever seen; questions whose top-k hits
 host-resident pages are answered through the session's layerwise QA path,
 which fetches those pages between per-layer dispatches (host callbacks
 inside jit hang on this platform — PLATFORM_NOTES.md).

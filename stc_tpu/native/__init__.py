@@ -15,17 +15,27 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "frameproc.cpp")
-_SO = os.path.join(_DIR, "libframeproc.so")
+
+
+def _so_path() -> str:
+    """Binary path keyed by a content hash of the source: a checkout can
+    never load a binary that drifted from frameproc.cpp (binaries are not
+    committed; see .gitignore)."""
+    import hashlib
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"libframeproc-{h}.so")
+
 
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(so: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _SO],
+             _SRC, "-o", so],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -37,10 +47,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
-                                   os.path.getmtime(_SRC)
-                                   > os.path.getmtime(_SO)):
-        if not _build():
+    _SO = _so_path()
+    if not os.path.exists(_SO):
+        if not _build(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)

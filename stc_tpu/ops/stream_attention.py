@@ -55,7 +55,7 @@ def _rot_half(x):
     return jnp.concatenate([-b, a], axis=-1)
 
 
-def _kernel(scal_ref,                       # (B, 4) int32 scalar prefetch
+def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
             q_rot_ref, q_one_ref,           # (1, 1, GT, D)
             k_pages_ref, v_pages_ref,       # (1, 1, ppt, S, D) window tile
             cos_ref, sin_ref,               # (1, TILE, D) f32
@@ -67,9 +67,10 @@ def _kernel(scal_ref,                       # (B, 4) int32 scalar prefetch
     t_idx = pl.program_id(2)
 
     L = scal_ref[b, 0]
-    start_page = scal_ref[b, 1] * ppt
-    total = scal_ref[b, 2]
+    start_page = scal_ref[b, 1] * ppt   # LOCAL store page of the first tile
+    total = scal_ref[b, 2]              # ABSOLUTE page count (incl. evicted)
     init_active = scal_ref[b, 3]
+    offset = scal_ref[b, 4]             # host-evicted pages: abs = local + off
 
     GT = q_rot_ref.shape[2]
     tile = ppt * S
@@ -103,20 +104,21 @@ def _kernel(scal_ref,                       # (B, 4) int32 scalar prefetch
     # written page that falls inside the sliding window — early in a stream
     # most of the (capacity-sized) window is empty and whole tiles skip
     # (the flash-attention tile-skip trick applied to the streaming window)
-    p0 = start_page + t_idx * ppt
-    pos_min = n_init + p0 * S
-    pos_max = n_init + (p0 + ppt) * S - 1
-    tile_live = ((p0 < total)                       # at least one real page
+    p0 = start_page + t_idx * ppt       # local store page of this tile
+    abs_p0 = p0 + offset                # absolute page index (positions)
+    pos_min = n_init + abs_p0 * S
+    pos_max = n_init + (abs_p0 + ppt) * S - 1
+    tile_live = ((abs_p0 < total)                   # at least one real page
                  & ((L + Tp - 1) - pos_min >= 0)    # not entirely future
                  & (L - pos_max < n_local))         # not entirely expired
 
     @pl.when(tile_live)
     def _window_tile():
         col = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 1)
-        page_idx = p0 + col // S
-        pos = n_init + page_idx * S + col % S
+        page_abs = abs_p0 + col // S
+        pos = n_init + page_abs * S + col % S
         dist = q_pos - pos
-        mask = (dist >= 0) & (dist < n_local) & (page_idx < total)
+        mask = (dist >= 0) & (dist < n_local) & (page_abs < total)
 
         D = q_rot_ref.shape[3]
         k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
@@ -172,7 +174,8 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     cos_cover/sin_cover: (B, Lc, D) fp32 rope tables for the page COVER
       (n_read_tiles aligned tiles starting at scalars[:,1]*ppt).
     k_init_rot/v_init/k_init_raw: (B, Hkv, n_init, D).
-    scalars: (B, 4) int32 [L, start_tile, total_pages, init_active].
+    scalars: (B, 5) int32 [L, start_tile (LOCAL store tile), total_pages
+      (ABSOLUTE incl. host-evicted), init_active, page_offset].
     Returns (B, Hq, T, D).
     """
     B, Hq, _, D = q_rot.shape

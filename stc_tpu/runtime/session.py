@@ -61,10 +61,14 @@ class StreamingSession:
         self.state_dtype = state_dtype
         self.frame_encoder = frame_encoder
 
-        assert self.rekv.decode_cap <= self.rekv.n_local + self.rekv.n_init, (
+        assert self.rekv.decode_cap <= self.rekv.n_local, (
             "QA attention assumes the decode cache never outgrows the local "
-            "window (true for all reference configs); got "
-            f"decode_cap={self.rekv.decode_cap} n_local={self.rekv.n_local}")
+            "window — decode_attend has no complement-window init stage, so "
+            "tokens past n_local would silently drop out of attention "
+            "(reference rekv_attention.py len_k > n_local branch). True for "
+            "all reference configs; got "
+            f"decode_cap={self.rekv.decode_cap} n_local={self.rekv.n_local}; "
+            "raise n_local or lower topk/max_prompt_tokens/max_new_tokens")
 
         mc, rc = model_cfg, self.rekv
         self.attn_backend = _resolve_backend(
@@ -134,6 +138,22 @@ class StreamingSession:
     def _track_blocks(self, n: int):
         self._total_blocks += n
 
+    def _check_rep_capacity(self, incoming_blocks: int):
+        """The rep array scores the FULL block history (host tier included);
+        past rep_cap new blocks would silently overwrite the last rep slot
+        and become unretrievable (engine.append_stream clamps the slot).
+        Fail fast instead — size max_rep_blocks to the stream length."""
+        rc = self.rekv
+        if self._total_blocks + incoming_blocks > rc.rep_cap:
+            raise RuntimeError(
+                f"stream exceeds rep-key capacity: {self._total_blocks} + "
+                f"{incoming_blocks} blocks > rep_cap={rc.rep_cap}. Set "
+                "ReKVConfig.max_rep_blocks to at least the total number of "
+                "frames in the stream (rep keys cost Hkv*D per block, "
+                "~1/block_size of the page bytes, so large caps are cheap); "
+                "the host tier keeps full-history retrieval only up to "
+                "rep_cap blocks.")
+
     def encode_init_prompt(self, init_prompt_ids: Sequence[int]):
         ids = np.asarray(init_prompt_ids, dtype=np.int32).reshape(1, -1)
         ids = np.broadcast_to(ids, (self.batch, ids.shape[1]))
@@ -150,6 +170,7 @@ class StreamingSession:
         B, T, E = feats.shape
         S = self.rekv.block_size
         assert T % S == 0, (T, S)
+        self._check_rep_capacity(T // S)
         for i in range(T // S):
             self._maybe_evict(1)
             _, self.kvs = self._encode_block(
@@ -203,11 +224,14 @@ class StreamingSession:
         stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
                                                     np.int32)
 
-        if self._evicted_pages > 0 and ext_idx is None:
+        if self._evicted_pages > 0:
             # some pages live in host RAM: layer-by-layer retrieval with host
             # fetches between dispatches (exact reference semantics), then
-            # prefill + decode
-            dkvs = self._qa_retrieve_layerwise(q_ids, qlen)
+            # prefill + decode.  External indices also take this path so that
+            # requested blocks below page_offset are served from the host
+            # store instead of silently dropped (reference
+            # set_retrieved_block_indices serves every stored block).
+            dkvs = self._qa_retrieve_layerwise(q_ids, qlen, ext_idx=ext_idx)
             logits, dkvs = self._decode(
                 self.params, dkvs=dkvs,
                 embeds=self._embed(self.params, jnp.asarray(p_ids)),
@@ -244,13 +268,16 @@ class StreamingSession:
         return [int(t) for t in np.asarray(tokens)[0, :n]]
 
     # ------------------------------------------------------------------ #
-    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen: int):
+    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen: int,
+                               ext_idx=None):
         """Question forward with per-layer host-tier fetches.
 
         One (score, fetch, attend) round per layer: scoring ranks the FULL
         block history via the on-device rep array; pages already evicted to
         host RAM are fetched between the two dispatches.  Exact reference
-        semantics (each layer retrieves with its own question queries)."""
+        semantics (each layer retrieves with its own question queries).
+        ext_idx: optional (B, topk) precomputed block indices (external
+        retrieval) — used for every layer instead of the scored top-k."""
         assert self.batch == 1, "layerwise QA currently supports batch=1"
         rc = self.rekv
         mc = self.mcfg
@@ -258,12 +285,24 @@ class StreamingSession:
         h = self._embed(self.params, jnp.asarray(q_ids))
         S, Hkv, D = rc.block_size, mc.num_kv_heads, mc.head_dim
 
+        if ext_idx is not None:
+            # valid blocks first (ascending), invalid last — the gathered
+            # buffer's valid region must be a contiguous prefix
+            e = np.asarray(ext_idx)[0]
+            valid = (e >= 0) & (e < self._total_blocks)
+            order = np.argsort(np.where(valid, e, np.iinfo(np.int32).max),
+                               kind="stable")
+            ext_sorted = jnp.asarray(e[order][None])
+            ext_exists = jnp.asarray(valid[order][None])
+
         dk, dv, cur = [], [], []
         for l in range(mc.num_layers):
             lp = jax.tree.map(lambda x: x[l], self.params["layers"])
             kv_l = jax.tree.map(lambda x: x[l], self.kvs)
             q, k, v, abs_idx, exists = self._qa_score_l(
                 lp, kv_l=kv_l, h=h, n_tokens=n_tok)
+            if ext_idx is not None:
+                abs_idx, exists = ext_sorted, ext_exists
             abs_np = np.asarray(abs_idx)[0]
             exists_np = np.asarray(exists)[0]
             use_host = exists_np & (abs_np < self._evicted_pages)

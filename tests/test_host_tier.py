@@ -10,11 +10,11 @@ from stc_tpu.models import qwen2 as qw
 from stc_tpu.runtime.session import StreamingSession
 
 
-def make_sess(max_blocks, seed=0):
+def make_sess(max_blocks, seed=0, chunk_size=1, max_rep_blocks=256):
     mcfg = qw.Qwen2Config.tiny()
     rekv = ReKVConfig(n_init=6, n_local=128, block_size=8, exc_block_size=8,
-                      topk=4, chunk_size=1, max_blocks=max_blocks,
-                      max_rep_blocks=256,
+                      topk=4, chunk_size=chunk_size, max_blocks=max_blocks,
+                      max_rep_blocks=max_rep_blocks,
                       max_prompt_tokens=64, max_new_tokens=8)
     params = qw.init_params(mcfg, jax.random.key(seed))
     return StreamingSession(params, mcfg, SessionConfig(rekv=rekv),
@@ -81,6 +81,67 @@ def test_layerwise_qa_matches_all_device_session():
         ans_big = sess_big.question_answering(q, p, [0], max_new_tokens=6)
         assert ans_small == ans_big, q
     assert sess_small.host_store.fetch_count > 0
+
+
+def test_layerwise_qa_matches_at_3x_capacity_chunked():
+    """3x device capacity, chunk_size=2 scoring: answers must still match an
+    all-device session exactly (VERDICT round-1: retrieval was 'exact
+    pre-capacity only')."""
+    sess_small, mcfg = make_sess(max_blocks=32, seed=4, chunk_size=2)
+    sess_big, _ = make_sess(max_blocks=128, seed=4, chunk_size=2)
+    rng = np.random.default_rng(4)
+    for s in (sess_small, sess_big):
+        s.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 96 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess_small.encode_video_features(feats)
+    sess_big.encode_video_features(feats)
+    assert sess_small._evicted_pages >= 64  # streamed to 3x capacity
+    assert sess_big._evicted_pages == 0
+    for q in ([5, 6, 7], [40, 41], [99, 98, 97], [120]):
+        ans_small = sess_small.question_answering(q, q + [8], [0],
+                                                  max_new_tokens=6)
+        ans_big = sess_big.question_answering(q, q + [8], [0],
+                                              max_new_tokens=6)
+        assert ans_small == ans_big, q
+    assert sess_small.host_store.fetch_count > 0
+
+
+def test_external_indices_served_from_host():
+    """External retrieval indices pointing at host-evicted pages must be
+    fetched from host RAM, not silently dropped (round-1 advisor finding)."""
+    sess_small, mcfg = make_sess(max_blocks=32, seed=5)
+    sess_big, _ = make_sess(max_blocks=256, seed=5)
+    rng = np.random.default_rng(5)
+    for s in (sess_small, sess_big):
+        s.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess_small.encode_video_features(feats)
+    sess_big.encode_video_features(feats)
+    assert sess_small._evicted_pages >= 4
+    ext = [0, 1, 2, 3]  # all below page_offset -> host-resident
+    fc0 = sess_small.host_store.fetch_count
+    ans_small = sess_small.question_answering([9, 8], [9, 8, 7], [0],
+                                              max_new_tokens=6,
+                                              retrieved_indices=ext)
+    ans_big = sess_big.question_answering([9, 8], [9, 8, 7], [0],
+                                          max_new_tokens=6,
+                                          retrieved_indices=ext)
+    assert sess_small.host_store.fetch_count > fc0
+    assert ans_small == ans_big
+
+
+def test_rep_capacity_overflow_raises():
+    """Streams longer than rep_cap must fail fast, not silently corrupt
+    retrieval (round-1 advisor finding: rep_slot clamp)."""
+    import pytest
+    sess, mcfg = make_sess(max_blocks=32, seed=6, max_rep_blocks=40)
+    sess.encode_init_prompt(list(range(6)))
+    rng = np.random.default_rng(6)
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)  # exactly rep_cap blocks: fine
+    one = rng.normal(size=(1, 8, mcfg.hidden_size)).astype(np.float32)
+    with pytest.raises(RuntimeError, match="rep-key capacity"):
+        sess.encode_video_features(one)
 
 
 def test_checkpoint_roundtrip_with_host_tier(tmp_path):

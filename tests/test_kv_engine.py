@@ -100,6 +100,75 @@ def test_retrieval_indices_match_oracle(n_appends, chunk_size):
     assert not np.asarray(tok_valid)[0, vl:].any()
 
 
+def _evict(kv, n_evict):
+    """Host-tier eviction on a single-layer StreamKV (kvcache.host_tier
+    semantics): shift the page store left, advance page_offset; the rep
+    array is ABSOLUTE-indexed and stays put."""
+
+    def shift(a):
+        return jnp.concatenate(
+            [a[:, :, n_evict:], jnp.zeros_like(a[:, :, :n_evict])], axis=2)
+
+    return kv._replace(block_k=shift(kv.block_k), block_v=shift(kv.block_v),
+                       page_offset=kv.page_offset + n_evict)
+
+
+@pytest.mark.parametrize("chunk_size", [1, 2])
+def test_retrieval_scoring_exact_across_eviction(chunk_size):
+    """Stream to 3x device capacity with host-tier eviction; block scoring
+    (which ranks the FULL history via the rep array) must stay EXACTLY equal
+    to the oracle, including chunk-grouped scoring (round-1 deviation was
+    'exact pre-capacity only')."""
+    from stc_tpu.kvcache.engine import score_blocks
+
+    cfg = ReKVConfig(
+        n_init=4, n_local=32, block_size=8, exc_block_size=8,
+        topk=4, chunk_size=chunk_size, max_blocks=16, max_rep_blocks=64,
+        max_prompt_tokens=16, max_new_tokens=8,
+    )
+    W = 8   # n_window_pages(cfg): ceil(32/8)+1=5 -> rounded to 8
+    E = 4   # eviction quantum
+    rng = np.random.default_rng(7)
+    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    oracle = OracleReKV(cfg.n_init, cfg.n_local, cfg.block_size, cfg.topk,
+                        cfg.chunk_size)
+
+    q, k, v = rand_qkv(rng, cfg.n_init)
+    _, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          cfg, is_init=True)
+    oracle.append(q[0], k[0], v[0])
+
+    n_blocks = 3 * cfg.max_blocks
+    evicted = 0
+    for step in range(n_blocks):
+        resident = int(kv.num_blocks[0]) - evicted
+        if resident + 1 > cfg.max_blocks:
+            assert resident - E >= W
+            kv = _evict(kv, E)
+            evicted += E
+        q, k, v = rand_qkv(rng, cfg.block_size)
+        o_eng, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), cfg, is_init=False)
+        o_ref = oracle.append(q[0], k[0], v[0])
+        np.testing.assert_allclose(np.asarray(o_eng)[0], o_ref,
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"append step {step}")
+    assert evicted > 0 and int(kv.num_blocks[0]) == n_blocks
+
+    hit_host = False
+    for qseed in range(5):
+        qr = np.random.default_rng(100 + qseed)
+        q = qr.normal(size=(1, HQ, 6, D)).astype(np.float32)
+        abs_idx, exists = score_blocks(kv, jnp.asarray(q), cfg)
+        got = [int(i) for i, e in zip(np.asarray(abs_idx)[0],
+                                      np.asarray(exists)[0]) if e]
+        want = oracle.retrieve_indices(q[0])
+        assert got == want, (qseed, got, want)
+        hit_host |= any(i < evicted for i in want)
+    # the parity claim is only interesting if some top-k hit evicted blocks
+    assert hit_host
+
+
 @pytest.mark.parametrize("n_appends", [2, 12])
 def test_qa_attention_matches_oracle(n_appends):
     cfg = make_cfg()
