@@ -1,20 +1,36 @@
-"""Streaming ingest benchmark — frames/sec/chip (encode + LM prefill).
+"""Streaming benchmarks — frames/sec/chip (encode + LM prefill) and more.
 
-Runs the flagship LLaVA-OneVision-0.5B-shaped pipeline with STC cacher+pruner
-defaults (196 -> 60 tokens/frame, 25% ViT recompute on cached chunks) on the
-default JAX platform (the real TPU chip under the driver).  Weights are
+Default mode measures the flagship LLaVA-OneVision-0.5B-shaped pipeline with
+STC cacher+pruner defaults (196 -> 60 tokens/frame, 25% ViT recompute on
+cached chunks) ingesting a single stream in 4-frame chunks (reference
+encode_chunk_size semantics: abstract_rekv.py:49-69; exc_block_size covers
+the chunk so each chunk is ONE attention dispatch per layer).  Weights are
 random (throughput does not depend on weight values); shapes are the real
-llava-onevision-qwen2-0.5b-ov ones.
+llava-onevision-qwen2-0.5b-ov ones.  The timed section runs at STEADY STATE
+(full local window, the long-stream production regime — the fused Pallas
+kernel path); the state is fast-forwarded there because attention cost
+depends on state SIZE, not content.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": fps/60}
 vs_baseline is the multiple of 60-fps real-time ingest (the BASELINE.md
 north-star: >=2x real-time on the 7B config on a v5e-8 pod; this measures the
 single-chip 0.5B-shaped config).
+
+Other modes via BENCH_MODE (each still prints one JSON line):
+  qa          — QA latency (retrieval + prompt prefill + 16-token greedy
+                decode), p50 over repeats
+  multistream — aggregate ingest fps with B=4 parallel streams
+  7b          — ingest fps at LLaVA-OV-7B shapes (single chip)
+scripts/bench_all.py runs every mode and writes bench_report.json.
+
+Timing is the MEDIAN of 3 passes (run-to-run variance on this platform is
+~20%; round 1's best-of-2 flattered the number).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,69 +46,173 @@ from stc_tpu.models import llava_onevision as lo
 from stc_tpu.models import qwen2 as qw
 from stc_tpu.models import siglip as sg
 
+CHUNK = int(os.getenv("BENCH_CHUNK_FRAMES", "4"))
+STEADY_BLOCKS = int(os.getenv("BENCH_STEADY_BLOCKS", "400"))
 
-def build():
+
+def build(batch=1, seven_b=False):
     vision = sg.SiglipConfig(hidden_size=1152, num_layers=27, num_heads=16,
                              intermediate_size=4304, image_size=384,
                              patch_size=14)
-    text = qw.Qwen2Config(vocab_size=151936, hidden_size=896, num_layers=24,
-                          num_heads=14, num_kv_heads=2, head_dim=64,
-                          intermediate_size=4864, rope_base=1000000.0)
+    if seven_b:
+        # HALF-DEPTH 7B shapes: the full model does not fit one 16 GB chip
+        # in bf16 (≈16 GB weights + 7 GB KV store — the north-star config is
+        # v5e-8 for exactly this reason).  14 of 28 layers fit and give the
+        # per-layer cost directly; full-depth LM cost ≈ 2x the LM share.
+        text = qw.Qwen2Config(vocab_size=152064, hidden_size=3584,
+                              num_layers=14, num_heads=28, num_kv_heads=4,
+                              head_dim=128, intermediate_size=18944,
+                              rope_base=1000000.0)
+    else:
+        text = qw.Qwen2Config(vocab_size=151936, hidden_size=896,
+                              num_layers=24, num_heads=14, num_kv_heads=2,
+                              head_dim=64, intermediate_size=4864,
+                              rope_base=1000000.0)
     cfg = lo.LlavaOVConfig(vision=vision, text=text)
     scfg = SessionConfig(
         rekv=ReKVConfig(n_init=14, n_local=15000, block_size=60,
-                        exc_block_size=60, topk=64, chunk_size=1,
+                        exc_block_size=60 * CHUNK, topk=64, chunk_size=1,
                         max_blocks=1024, max_prompt_tokens=256,
                         max_new_tokens=128),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.25,
                             cache_interval=2),
         pruner=PrunerConfig(token_per_frame=60),
+        encode_chunk_frames=CHUNK,
     )
     params = lo.init_random_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     sess = lo.build_session(params, cfg, scfg, state_dtype=jnp.bfloat16,
-                            vision_dtype=jnp.bfloat16)
+                            vision_dtype=jnp.bfloat16, batch=batch)
     return sess, cfg
 
 
-def main():
-    # warmup must cross every window bucket the timed section touches
-    # (bucketed window attention recompiles at powers of two)
-    n_frames = int(os.getenv("BENCH_FRAMES", "24"))
-    n_warmup = int(os.getenv("BENCH_WARMUP", "40"))
-    rng = np.random.default_rng(0)
+def hard_sync(sess):
+    # NOTE: on this platform block_until_ready can return before the
+    # execution finishes; fetching a value is the only reliable barrier
+    return float(jnp.sum(sess.kvs.block_rep.astype(jnp.float32)[..., :1]))
 
+
+def fast_forward(sess, n_blocks):
+    """Jump the stream state to a long-stream steady point: counters say
+    n_blocks pages were ingested (page contents are irrelevant for
+    throughput; only the state SIZE drives attention cost)."""
+    S = sess.rekv.block_size
+    sess.kvs = sess.kvs._replace(
+        num_blocks=jnp.full_like(sess.kvs.num_blocks, n_blocks),
+        length=jnp.full_like(sess.kvs.length,
+                             sess.rekv.n_init + n_blocks * S))
+    sess._total_blocks = n_blocks
+
+
+def timed_passes(fn, sync, n_passes=3):
+    times = []
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        fn()
+        sync()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def bench_ingest(batch=1, seven_b=False):
+    n_frames = int(os.getenv("BENCH_FRAMES", "96"))
+    rng = np.random.default_rng(0)
+    sess, cfg = build(batch=batch, seven_b=seven_b)
+    sess.encode_init_prompt(list(range(14)))
+    fast_forward(sess, STEADY_BLOCKS)
+
+    if batch == 1:
+        frames = rng.integers(0, 256, size=(8, 384, 384, 3), dtype=np.uint8)
+
+        def feed(i):
+            sess.encode_video(frames[i % 4: i % 4 + CHUNK])
+    else:
+        frames = rng.integers(0, 256, size=(batch, 8, 384, 384, 3),
+                              dtype=np.uint8)
+
+        def feed(i):
+            sess.encode_video(frames[:, i % 4: i % 4 + CHUNK])
+
+    # warmup compiles both chunk paths (full + cacher) at the steady bucket
+    for i in range(0, 6 * CHUNK, CHUNK):
+        feed(i)
+    hard_sync(sess)
+
+    def one_pass():
+        for i in range(0, n_frames, CHUNK):
+            feed(i)
+
+    dt = timed_passes(one_pass, lambda: hard_sync(sess))
+    return batch * n_frames / dt
+
+
+def bench_qa():
+    """QA latency: retrieval forward + prompt prefill + 16-token decode."""
     sess, cfg = build()
     sess.encode_init_prompt(list(range(14)))
+    fast_forward(sess, STEADY_BLOCKS)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(CHUNK, 384, 384, 3), dtype=np.uint8)
+    sess.encode_video(frames)
+    hard_sync(sess)
+    q = list(rng.integers(1, 1000, size=24))
+    p = list(rng.integers(1, 1000, size=40))
 
-    frames = rng.integers(0, 256, size=(4, 384, 384, 3), dtype=np.uint8)
-
-    def hard_sync():
-        # NOTE: on this platform block_until_ready can return before the
-        # execution finishes; fetching a value is the only reliable barrier
-        return float(jnp.sum(sess.kvs.block_rep.astype(jnp.float32)))
-
-    # warmup: compile both vision paths + LM encode
-    for i in range(n_warmup):
-        sess.encode_video(frames[i % 4:i % 4 + 1])
-    hard_sync()
-
-    # best-of-2 timed passes (this platform's run-to-run variance is ~20%)
-    best = float("inf")
-    for _ in range(2):
+    lat = []
+    for rep in range(7):
         t0 = time.perf_counter()
-        for i in range(n_frames):
-            sess.encode_video(frames[i % 4:i % 4 + 1])
-        hard_sync()
-        best = min(best, time.perf_counter() - t0)
+        ans = sess.question_answering(q, p, stop_token_ids=[-2],
+                                      max_new_tokens=16)
+        lat.append((time.perf_counter() - t0) * 1000)
+        assert len(ans) == 16
+    lat.sort()
+    return lat[len(lat) // 2]
 
-    fps = n_frames / best
-    print(json.dumps({
-        "metric": "streaming ingest frames/sec/chip "
-                  "(llava-ov-0.5b shapes, STC cacher+pruner, encode+prefill)",
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 60.0, 3),
-    }))
+
+def main():
+    mode = os.getenv("BENCH_MODE", "ingest")
+    if mode == "ingest":
+        fps = bench_ingest()
+        print(json.dumps({
+            "metric": "streaming ingest frames/sec/chip (llava-ov-0.5b "
+                      f"shapes, STC cacher+pruner, {CHUNK}-frame chunks, "
+                      "steady-state full window, encode+prefill)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+    elif mode == "multistream":
+        fps = bench_ingest(batch=4)
+        print(json.dumps({
+            "metric": "aggregate streaming ingest frames/sec/chip "
+                      "(4 parallel streams, llava-ov-0.5b shapes, STC "
+                      f"cacher+pruner, {CHUNK}-frame chunks, steady state)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+    elif mode == "7b":
+        fps = bench_ingest(seven_b=True)
+        print(json.dumps({
+            "metric": "streaming ingest frames/sec/chip (llava-ov-7B "
+                      "shapes at HALF depth - 14 of 28 layers; full 7B+KV "
+                      f"needs >1 chip in bf16 - STC, {CHUNK}-frame chunks, "
+                      "steady state; north star is 120 fps on v5e-8)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+    elif mode == "qa":
+        ms = bench_qa()
+        print(json.dumps({
+            "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
+                      "+ 16-token greedy decode, llava-ov-0.5b shapes, "
+                      "steady-state full window)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    else:
+        raise SystemExit(f"unknown BENCH_MODE={mode}")
 
 
 if __name__ == "__main__":

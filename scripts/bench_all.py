@@ -1,0 +1,42 @@
+"""Run every bench mode and write bench_report.json at the repo root.
+
+Each mode runs in a fresh subprocess (clean compile cache state, no
+cross-mode memory pressure).  The headline driver metric stays `python
+bench.py` (ingest mode); this report captures the full picture: QA latency,
+multi-stream aggregate, and 7B shapes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MODES = [
+    ("ingest", {}),
+    ("qa", {}),
+    ("multistream", {}),
+    ("7b", {"BENCH_FRAMES": "48"}),
+]
+
+
+def main():
+    report = {}
+    for mode, extra in MODES:
+        env = {**os.environ, "BENCH_MODE": mode, **extra}
+        r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
+                           env=env, capture_output=True, text=True,
+                           timeout=1800)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        try:
+            report[mode] = json.loads(line)
+        except json.JSONDecodeError:
+            report[mode] = {"error": r.stderr.strip()[-500:]}
+        print(mode, "->", report[mode])
+    with open(os.path.join(ROOT, "bench_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,14 +143,18 @@ class SessionConfig:
         tpf = pruner.token_per_frame if pruner.enabled else MODEL_SPECS[
             pruner.model_spec
         ].tokens_per_frame
+        # frames ingested per dispatch; exc_block_size covers the whole chunk
+        # so each chunk is ONE attention call (multi-page append)
+        chunk_frames = int(os.getenv("STC_CHUNK_FRAMES", "1"))
         rekv = ReKVConfig(
             n_local=int(os.getenv("STC_N_LOCAL", "15000")),
             topk=int(os.getenv("STC_TOPK", "64")),
             block_size=tpf,
-            exc_block_size=tpf,
+            exc_block_size=tpf * chunk_frames,
             max_blocks=int(os.getenv("STC_MAX_BLOCKS", "1024")),
             # rep capacity bounds the retrievable stream length (frames);
             # the session raises before silently exceeding it
             max_rep_blocks=int(os.getenv("STC_MAX_REP_BLOCKS", "0")),
         )
-        return cls(rekv=rekv, cacher=cacher, pruner=pruner)
+        return cls(rekv=rekv, cacher=cacher, pruner=pruner,
+                   encode_chunk_frames=chunk_frames)

@@ -43,10 +43,11 @@ NEG_INF = float("-inf")
 
 
 def n_window_pages(cfg: ReKVConfig) -> int:
-    # ceil(n_local/S)+1 pages cover the sliding window; rounded up to the
-    # Pallas kernel's pages-per-tile so the window length tiles evenly
-    # (extra pages sit left of the window and are masked by distance)
-    w0 = -(-cfg.n_local // cfg.block_size) + 1
+    # ceil(n_local/S) + exc pages cover the sliding window incl. the pages
+    # being appended; rounded up to the Pallas kernel's pages-per-tile so the
+    # window length tiles evenly (extra pages sit left of the window and are
+    # masked by distance)
+    w0 = -(-cfg.n_local // cfg.block_size) + cfg.exc_block_size // cfg.block_size
     return -(-w0 // 8) * 8
 
 
@@ -143,16 +144,19 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
     init_local_mask = ((d_init >= 0) & (d_init < cfg.n_local)
                        & (init_pos[:, None, :] < L[:, None, None]))[:, None]
 
-    # window pages: the last W pages including the block being appended.
-    # The store is append-only, so the window is one CONTIGUOUS page range
-    # starting at win_start — readable with a dynamic_slice (XLA gathers run
-    # at ~1/10th of copy bandwidth on TPU; slices run at full speed).
-    total = num_blocks[:, None] + 1
+    # window pages: the last W pages including the n_new pages being appended
+    # (n_new = T/S; reference exc_block_size semantics — one attention call
+    # covers the whole exc chunk).  The store is append-only, so the window
+    # is one CONTIGUOUS page range starting at win_start — readable with a
+    # dynamic_slice (XLA gathers run at ~1/10th of copy bandwidth on TPU;
+    # slices run at full speed).
+    n_new = T // S
+    total = num_blocks[:, None] + n_new
     offset = (jnp.zeros_like(num_blocks) if page_offset is None
               else page_offset)
     # device-local slice start; pages are ABSOLUTE indices (positions depend
     # on them); the session guarantees the window is never evicted
-    win_start = jnp.clip(num_blocks + 1 - offset - W, 0, Nb - W)    # (B,)
+    win_start = jnp.clip(num_blocks + n_new - offset - W, 0, Nb - W)  # (B,)
     pages = (offset + win_start)[:, None] \
         + jnp.arange(W, dtype=jnp.int32)[None, :]
     pvalid = pages < total
@@ -249,26 +253,46 @@ def append_stream(
         o = multi_stage_attention(q_rot, [AttnStage(k_rot, v, mask[None, None])])
         return o, kv._replace(init_k=k, init_v=v, length=kv.length + T)
 
-    assert T == S, (T, S)
+    assert T % S == 0, (T, S)
+    n_new = T // S
+    assert n_new <= cfg.exc_block_size // S, (
+        f"append of {n_new} pages exceeds exc_block_size="
+        f"{cfg.exc_block_size} (the window cover is sized for it)")
     rc = rope_cache if rope_cache is not None else make_rope_cache(
         kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages,
         page_offset=kv.page_offset)
 
     # ---- page write (before attention: queries must see themselves) ----
-    # the store is append-only: slot == absolute block index, so the local
-    # window is a CONTIGUOUS range of pages (kernel reads it with plain
-    # blocked pipelining).  Streams longer than max_blocks pages need the
-    # host-offload tier; until then the last slot is overwritten.
-    bidx = jnp.arange(B, dtype=jnp.int32)
-    slot = jnp.clip(kv.num_blocks - kv.page_offset, 0, cfg.max_blocks - 1)
-    # advanced indices on (batch, page) dims with the head dim sliced: the
-    # scatter window is a whole (S, D) page per kv head
-    block_k = kv.block_k.at[bidx, :, slot].set(k)
-    block_v = kv.block_v.at[bidx, :, slot].set(v)
-    rep = jnp.mean(k.astype(jnp.float32), axis=2).astype(kv.block_rep.dtype)
-    rep_slot = jnp.minimum(kv.num_blocks, cfg.rep_cap - 1)
-    block_rep = kv.block_rep.at[bidx, rep_slot].set(rep)
-    num_blocks = kv.num_blocks + 1
+    # the store is append-only: slot == absolute block index - page_offset,
+    # so the local window is a CONTIGUOUS range of pages (kernel reads it
+    # with plain blocked pipelining).  One append may carry several pages
+    # (reference exc_block_size semantics: kv_cache_manager.append processes
+    # the input in exc chunks; here the whole exc chunk is ONE attention
+    # call and ONE contiguous page-range write).  Streams longer than
+    # max_blocks pages need the host-offload tier.
+    k_pages = k.reshape(B, Hkv, n_new, S, D)
+    v_pages = v.reshape(B, Hkv, n_new, S, D)
+    slot = jnp.clip(kv.num_blocks - kv.page_offset, 0, cfg.max_blocks - n_new)
+
+    def _wr(store_b, pages_b, start):
+        return jax.lax.dynamic_update_slice_in_dim(store_b, pages_b, start,
+                                                   axis=1)
+
+    block_k = jax.vmap(_wr)(kv.block_k, k_pages, slot)
+    block_v = jax.vmap(_wr)(kv.block_v, v_pages, slot)
+    # one representative mean key per page (reference _append_global)
+    rep = jnp.mean(k_pages.astype(jnp.float32), axis=3)     # (B, Hkv, n, D)
+    rep = rep.transpose(0, 2, 1, 3).astype(kv.block_rep.dtype)
+    # rep slots are ABSOLUTE; the session raises before rep_cap overflows
+    # (the clip only guards the jit from OOB writes)
+    rep_start = jnp.clip(kv.num_blocks, 0, cfg.rep_cap - n_new)
+
+    def _wr_rep(store_b, rep_b, start):
+        return jax.lax.dynamic_update_slice_in_dim(store_b, rep_b, start,
+                                                   axis=0)
+
+    block_rep = jax.vmap(_wr_rep)(kv.block_rep, rep, rep_start)
+    num_blocks = kv.num_blocks + n_new
 
     # ---- rotations (tables shared across layers via rope_cache) ----
     q_rot = _rot(q, rc.cos_q, rc.sin_q)

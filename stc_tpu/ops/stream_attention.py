@@ -184,7 +184,7 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     S = block_k.shape[3]
     G = Hq // Hkv
     dtype = q_rot.dtype
-    assert T == S, (T, S)
+    assert T % S == 0, (T, S)  # exc appends carry T/S pages
 
     Tp = _round_up(T, 8)
     GT = G * Tp

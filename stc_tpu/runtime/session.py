@@ -124,16 +124,16 @@ class StreamingSession:
         """Offload the oldest device pages to host RAM before they would
         overflow the store (reference MemoryUnit CPU offload)."""
         rc = self.rekv
-        resident = self._total_blocks - self._evicted_pages
-        if resident + incoming_blocks <= rc.max_blocks:
-            return
         from stc_tpu.kvcache.host_tier import evict_pages
-        E = self._evict_n
-        assert E > 0 and resident - E >= self._window_pages, (
-            "max_blocks too small for host-tier eviction margins")
-        ev_k, ev_v, self.kvs = evict_pages(self.kvs, E)
-        self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
-        self._evicted_pages += E
+        while (self._total_blocks - self._evicted_pages
+               + incoming_blocks > rc.max_blocks):
+            resident = self._total_blocks - self._evicted_pages
+            E = self._evict_n
+            assert E > 0 and resident - E >= self._window_pages, (
+                "max_blocks too small for host-tier eviction margins")
+            ev_k, ev_v, self.kvs = evict_pages(self.kvs, E)
+            self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
+            self._evicted_pages += E
 
     def _track_blocks(self, n: int):
         self._total_blocks += n
@@ -169,13 +169,17 @@ class StreamingSession:
         feats = jnp.asarray(feats, self.params["embed"].dtype)
         B, T, E = feats.shape
         S = self.rekv.block_size
+        exc = self.rekv.exc_block_size
         assert T % S == 0, (T, S)
         self._check_rep_capacity(T // S)
-        for i in range(T // S):
-            self._maybe_evict(1)
+        # exc_block_size tokens per attention dispatch (multi-page appends);
+        # the tail chunk compiles once at its own (block-multiple) shape
+        for i in range(0, T, exc):
+            n = min(exc, T - i) // S
+            self._maybe_evict(n)
             _, self.kvs = self._encode_block(
-                self.params, kvs=self.kvs, embeds=feats[:, i * S:(i + 1) * S])
-            self._track_blocks(1)
+                self.params, kvs=self.kvs, embeds=feats[:, i:i + n * S])
+            self._track_blocks(n)
 
     def encode_video(self, frames):
         """frames: (n_frames, H, W, 3) uint8 — requires a frame_encoder."""

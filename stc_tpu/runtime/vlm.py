@@ -96,9 +96,13 @@ class VLMSession(StreamingSession):
             backend = (self.attn_backend if bucket >= self._W else
                        ("jnp" if self.attn_backend == "pallas"
                         else self.attn_backend))
-            for i in range(flat.shape[1] // S):
+            # one attention call per exc chunk (reference exc_block_size
+            # semantics) — a whole multi-frame chunk is ONE append when
+            # exc_block_size covers it, amortizing per-op overhead
+            exc = rekv.exc_block_size
+            for i in range(0, flat.shape[1], exc):
                 _, kvs = qw.encode_step(params["text"], text_cfg, rekv, kvs,
-                                        flat[:, i * S:(i + 1) * S],
+                                        flat[:, i:i + exc],
                                         is_init=False,
                                         attn_backend=backend,
                                         win_pages=bucket)

@@ -1,0 +1,91 @@
+"""Load the ACTUAL reference implementation (torch) as a CPU test oracle.
+
+VERDICT round 1 asked that parity be checked against the reference code
+itself (model/attention/kv_cache_manager.py + rope.py, torch_impl attention)
+rather than only against the hand-written numpy oracle.  The reference
+hard-codes CUDA in three device-only spots; we exec a source-shimmed copy
+with exactly these textual substitutions (no semantic change):
+
+  assert _t.is_cuda     -> pass          (init()'s device check)
+  device="cuda"         -> device="cpu"  (CudaCache + rope table placement)
+
+plus no-op torch.cuda.Event / current_stream shims (the side-stream
+synchronization machinery is inert on CPU; GLOBAL_STREAM is already None
+when CUDA is unavailable, and torch.cuda.stream(None) is a no-op context).
+
+Everything else — block carving, rep keys, LRU, retrieval scoring, RoPE,
+multi-stage torch attention — is the reference's own code, byte for byte.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import torch
+
+REF = "/root/reference"
+_loaded = {}
+
+
+class _FakeEvent:
+    def __init__(self, *a, **k):
+        pass
+
+    def record(self, *a, **k):
+        pass
+
+    def wait(self, *a, **k):
+        pass
+
+    def synchronize(self):
+        pass
+
+
+def _install_cuda_shims():
+    if not torch.cuda.is_available():
+        torch.cuda.Event = _FakeEvent
+        torch.cuda.current_stream = lambda *a, **k: None
+
+
+def _load_shim(name: str, path: str):
+    if name in _loaded:
+        return _loaded[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    src = open(path).read()
+    src = src.replace("assert _t.is_cuda", "pass")
+    src = src.replace('device="cuda"', 'device="cpu"')
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "model.attention"
+    sys.modules[name] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    _loaded[name] = mod
+    return mod
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REF, "model", "attention"))
+
+
+def load_reference():
+    """Returns (kv_cache_manager module, rope module) on CPU."""
+    _install_cuda_shims()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    rope = _load_shim("model.attention.rope_cpushim",
+                      os.path.join(REF, "model/attention/rope.py"))
+    kvm = _load_shim("model.attention.kv_cache_manager_cpushim",
+                     os.path.join(REF, "model/attention/kv_cache_manager.py"))
+    return kvm, rope
+
+
+def make_context_manager(kvm, rope_mod, *, dim_head, n_init, n_local,
+                         block_size, topk, chunk_size, exc_block_size,
+                         max_cached_block=256, rope_base=10000.0):
+    rope = rope_mod.RotaryEmbeddingESM(dim_head, rope_base)
+    return kvm.ContextManager(
+        rope, n_init=n_init, n_local=n_local, block_size=block_size,
+        max_cached_block=max_cached_block, topk=topk, chunk_size=chunk_size,
+        exc_block_size=exc_block_size, fattn=False,
+        async_global_stream=False, pin_memory=False)

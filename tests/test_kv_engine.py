@@ -100,6 +100,79 @@ def test_retrieval_indices_match_oracle(n_appends, chunk_size):
     assert not np.asarray(tok_valid)[0, vl:].any()
 
 
+@pytest.mark.parametrize("n_appends", [1, 2, 5])
+def test_exc_multi_page_appends_match_oracle(n_appends):
+    """exc_block_size = 4 pages: one append carries 4 blocks of tokens in a
+    single attention call (reference kv_cache_manager.append exc-chunk
+    semantics). Outputs, state, and retrieval must match the oracle driven
+    with the same T=4S appends."""
+    cfg = ReKVConfig(
+        n_init=4, n_local=64, block_size=8, exc_block_size=32,
+        topk=4, chunk_size=1, max_blocks=64,
+        max_prompt_tokens=16, max_new_tokens=8,
+    )
+    rng = np.random.default_rng(11)
+    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    oracle = OracleReKV(cfg.n_init, cfg.n_local, cfg.block_size, cfg.topk,
+                        cfg.chunk_size)
+    q, k, v = rand_qkv(rng, cfg.n_init)
+    _, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          cfg, is_init=True)
+    oracle.append(q[0], k[0], v[0])
+    for step in range(n_appends):
+        q, k, v = rand_qkv(rng, cfg.exc_block_size)
+        o_eng, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), cfg, is_init=False)
+        o_ref = oracle.append(q[0], k[0], v[0])
+        np.testing.assert_allclose(np.asarray(o_eng)[0], o_ref,
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"exc append {step}")
+    assert int(kv.num_blocks[0]) == n_appends * 4
+    # retrieval parity on the multi-page-appended store
+    q = rng.normal(size=(1, HQ, 5, D)).astype(np.float32)
+    from stc_tpu.kvcache.engine import score_blocks
+    abs_idx, exists = score_blocks(kv, jnp.asarray(q), cfg)
+    got = [int(i) for i, e in zip(np.asarray(abs_idx)[0],
+                                  np.asarray(exists)[0]) if e]
+    assert got == oracle.retrieve_indices(q[0])
+
+
+def test_exc_append_state_equals_per_block_appends():
+    """Multi-page appends must leave the IDENTICAL page store / rep keys as
+    the same tokens appended one block at a time."""
+    cfg1 = make_cfg()
+    cfg4 = ReKVConfig(
+        n_init=4, n_local=64, block_size=8, exc_block_size=32,
+        topk=4, chunk_size=1, max_blocks=64,
+        max_prompt_tokens=16, max_new_tokens=8,
+    )
+    rng = np.random.default_rng(12)
+    kv1 = init_stream_kv(cfg1, 1, HKV, D, dtype=jnp.float32)
+    kv4 = init_stream_kv(cfg4, 1, HKV, D, dtype=jnp.float32)
+    q, k, v = rand_qkv(rng, 4)
+    _, kv1 = append_stream(kv1, *map(jnp.asarray, (q, k, v)), cfg1,
+                           is_init=True)
+    _, kv4 = append_stream(kv4, *map(jnp.asarray, (q, k, v)), cfg4,
+                           is_init=True)
+    for _ in range(3):
+        q, k, v = rand_qkv(rng, 32)
+        _, kv4 = append_stream(kv4, *map(jnp.asarray, (q, k, v)), cfg4,
+                               is_init=False)
+        for j in range(4):
+            sl = slice(j * 8, (j + 1) * 8)
+            _, kv1 = append_stream(kv1, jnp.asarray(q[:, :, sl]),
+                                   jnp.asarray(k[:, :, sl]),
+                                   jnp.asarray(v[:, :, sl]), cfg1,
+                                   is_init=False)
+    np.testing.assert_array_equal(np.asarray(kv1.num_blocks),
+                                  np.asarray(kv4.num_blocks))
+    np.testing.assert_allclose(np.asarray(kv1.block_k),
+                               np.asarray(kv4.block_k), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(kv1.block_rep),
+                               np.asarray(kv4.block_rep), rtol=1e-6,
+                               atol=1e-6)
+
+
 def _evict(kv, n_evict):
     """Host-tier eviction on a single-layer StreamKV (kvcache.host_tier
     semantics): shift the page store left, advance page_offset; the rep

@@ -53,6 +53,31 @@ def test_pallas_matches_jnp(n_appends):
                                np.asarray(kv_pl.block_k))
 
 
+def test_pallas_matches_jnp_exc_append():
+    """Multi-page (exc_block_size) appends through the fused kernel."""
+    cfg = ReKVConfig(n_init=4, n_local=64, block_size=8, exc_block_size=32,
+                     topk=4, chunk_size=1, max_blocks=64,
+                     max_prompt_tokens=16, max_new_tokens=8)
+    rng = np.random.default_rng(3)
+    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    q = jnp.asarray(rng.normal(size=(1, HQ, cfg.n_init, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, HKV, cfg.n_init, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, HKV, cfg.n_init, D)), jnp.float32)
+    _, kv = append_stream(kv, q, k, v, cfg, is_init=True)
+    for step in range(4):  # crosses the init-fill trigger at 64 tokens
+        q = jnp.asarray(rng.normal(size=(1, HQ, 32, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, HKV, 32, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, HKV, 32, D)), jnp.float32)
+        o_ref, kv_ref = append_stream(kv, q, k, v, cfg, is_init=False,
+                                      backend="jnp")
+        o_pl, kv = append_stream(kv, q, k, v, cfg, is_init=False,
+                                 backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                                   rtol=2e-2, atol=2e-2, err_msg=str(step))
+        np.testing.assert_array_equal(np.asarray(kv_ref.num_blocks),
+                                      np.asarray(kv.num_blocks))
+
+
 def _evict(kv, n_evict):
     """Host-tier eviction on a single-layer StreamKV: shift the page store
     left and advance page_offset (mirrors kvcache.host_tier.evict_pages)."""
