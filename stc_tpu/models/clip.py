@@ -157,10 +157,12 @@ def _attn(lp, hn, cfg: CLIPConfig):
     q = (hn @ lp["wq"] + lp["bq"]).reshape(F_, T, H, D).transpose(0, 2, 1, 3)
     k = (hn @ lp["wk"] + lp["bk"]).reshape(F_, T, H, D).transpose(0, 2, 1, 3)
     v = (hn @ lp["wv"] + lp["bv"]).reshape(F_, T, H, D).transpose(0, 2, 1, 3)
-    lg = jnp.einsum("fhqd,fhkd->fhqk", q.astype(jnp.float32),
-                    k.astype(jnp.float32)) * (D ** -0.5)
-    p = jax.nn.softmax(lg, axis=-1)
-    o = jnp.einsum("fhqk,fhkd->fhqd", p, v.astype(jnp.float32))
+    # input-dtype matmuls (bf16 on the MXU) with fp32 accumulation/softmax
+    lg = jnp.einsum("fhqd,fhkd->fhqk", q, k,
+                    preferred_element_type=jnp.float32) * (D ** -0.5)
+    p = jax.nn.softmax(lg, axis=-1).astype(hn.dtype)
+    o = jnp.einsum("fhqk,fhkd->fhqd", p, v,
+                   preferred_element_type=jnp.float32)
     o = o.transpose(0, 2, 1, 3).reshape(F_, T, C).astype(hn.dtype)
     return o @ lp["wo"] + lp["bo"]
 

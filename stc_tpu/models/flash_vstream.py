@@ -94,6 +94,37 @@ def init_random_params(cfg: FlashVStreamConfig, key, dtype=jnp.float32):
 
 @register_model("flash_vstream_7b")
 def load_flash_vstream(model_path: str, scfg=None, dtype=jnp.bfloat16):
-    raise NotImplementedError(
-        "Flash-VStream checkpoint conversion requires local weights; use "
-        "FlashVStreamSession with init_random_params for shape-level work.")
+    """Convert + assemble from a Flash-VStream (llava_vstream) checkpoint.
+
+    Reference counterpart: model/flash_vstream_rekv.py:126-200.  Same llava
+    key layout as LongVA but with a Vicuna/Llama LM (no qkv bias); the
+    checkpoint's flash-memory modules are unused by the ReKV path and are
+    ignored.
+    """
+    from stc_tpu.models.convert import (clip_config_from_state, convert_clip,
+                                        convert_mlp2x, convert_qwen2,
+                                        find_prefix, llama_config_from_hf,
+                                        load_hf_state, read_hf_config)
+    hf = read_hf_config(model_path)
+    tcfg = llama_config_from_hf(hf)
+    state = load_hf_state(model_path)
+    vpfx = find_prefix(state, "embeddings.class_embedding", (
+        "model.vision_tower.vision_tower.vision_model.",
+        "vision_tower.vision_tower.vision_model.",
+        "model.vision_tower.vision_model.",
+    ))
+    vheads = (hf.vision_config.num_attention_heads
+              if hasattr(hf, "vision_config") else 16)
+    vcfg = clip_config_from_state(state, vpfx, num_heads=vheads)
+    ppfx = find_prefix(state, "0.weight",
+                       ("model.mm_projector.", "mm_projector."))
+    params = {
+        "vision": convert_clip(state, vcfg.num_layers, vpfx, dtype=dtype),
+        "projector": convert_mlp2x(state, ppfx, dtype=dtype),
+        "text": convert_qwen2(state, tcfg, prefix="model.", dtype=dtype),
+    }
+    # 8x8 spatial compression (reference fixed 64); clamped for tiny towers
+    cfg = FlashVStreamConfig(vision=vcfg, text=tcfg,
+                             spatial_tokens=min(64, vcfg.grid ** 2))
+    scfg = scfg or default_session_config(cfg)
+    return FlashVStreamSession(params, cfg, scfg, state_dtype=dtype), cfg

@@ -261,11 +261,10 @@ def load_llava_ov_7b(model_path: str, scfg: Optional[SessionConfig] = None,
     Requires local HF weights (this environment has no network egress);
     reference counterpart: llava_onevision_rekv.load_model.
     """
-    from transformers import AutoConfig
-    import safetensors.numpy  # noqa: F401  (lazy check)
     from stc_tpu.models.convert import (convert_projector, convert_qwen2,
-                                        convert_siglip, qwen2_config_from_hf)
-    hf = AutoConfig.from_pretrained(model_path)
+                                        convert_siglip, find_prefix,
+                                        qwen2_config_from_hf, read_hf_config)
+    hf = read_hf_config(model_path)
     tcfg = qwen2_config_from_hf(hf.text_config)
     vcfg = sg.SiglipConfig(
         hidden_size=hf.vision_config.hidden_size,
@@ -277,27 +276,25 @@ def load_llava_ov_7b(model_path: str, scfg: Optional[SessionConfig] = None,
     )
     cfg = LlavaOVConfig(vision=vcfg, text=tcfg)
     state = _load_hf_state(model_path)
+    # HF key layouts drift across transformers versions ('model.'-nested in
+    # newer releases); probe for the actual prefixes
+    vpfx = find_prefix(state, "embeddings.patch_embedding.weight", (
+        "vision_tower.vision_model.", "model.vision_tower.vision_model."))
+    ppfx = find_prefix(state, "linear_1.weight", (
+        "multi_modal_projector.", "model.multi_modal_projector."))
+    lpfx = find_prefix(state, "layers.0.self_attn.q_proj.weight", (
+        "language_model.model.", "model.language_model.model.",
+        "model.language_model."))
     params = {
-        "vision": convert_siglip(state, vcfg.num_layers, dtype=dtype),
-        "projector": convert_projector(state, dtype=dtype),
-        "text": convert_qwen2(state, tcfg, prefix="language_model.model.",
-                              dtype=dtype),
+        "vision": convert_siglip(state, vcfg.num_layers, prefix=vpfx,
+                                 dtype=dtype),
+        "projector": convert_projector(state, prefix=ppfx, dtype=dtype),
+        "text": convert_qwen2(state, tcfg, prefix=lpfx, dtype=dtype),
     }
     scfg = scfg or SessionConfig.from_env()
     return build_session(params, cfg, scfg, state_dtype=dtype), cfg
 
 
 def _load_hf_state(model_path: str):
-    import glob
-    import os
-    state = {}
-    files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
-    if files:
-        from safetensors.numpy import load_file
-        for f in files:
-            state.update(load_file(f))
-    else:
-        import torch
-        for f in sorted(glob.glob(os.path.join(model_path, "*.bin"))):
-            state.update(torch.load(f, map_location="cpu"))
-    return state
+    from stc_tpu.models.convert import load_hf_state
+    return load_hf_state(model_path)

@@ -132,7 +132,36 @@ def init_random_params(cfg: LongVAConfig, key, dtype=jnp.float32):
 
 @register_model("longva_7b")
 def load_longva_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
-    raise NotImplementedError(
-        "LongVA checkpoint conversion requires local weights; use "
-        "LongVASession with init_random_params for shape-level work, or add "
-        "the converter once a checkpoint directory is available.")
+    """Convert + assemble from a LongVA (llava_qwen) checkpoint directory.
+
+    Reference counterpart: model/longva/model/builder.py:27
+    load_pretrained_model + longva_rekv.py load_model.  Key layout:
+    model.layers.* (Qwen2 w/ bias), model.vision_tower.vision_tower.
+    vision_model.* (CLIP-L), model.mm_projector.{0,2}.* (mlp2x_gelu),
+    lm_head.weight.
+    """
+    from stc_tpu.models.convert import (clip_config_from_state, convert_clip,
+                                        convert_mlp2x, convert_qwen2,
+                                        find_prefix, load_hf_state,
+                                        qwen2_config_from_hf, read_hf_config)
+    hf = read_hf_config(model_path)
+    tcfg = qwen2_config_from_hf(hf)  # llava_qwen config carries LM dims
+    state = load_hf_state(model_path)
+    vpfx = find_prefix(state, "embeddings.class_embedding", (
+        "model.vision_tower.vision_tower.vision_model.",
+        "vision_tower.vision_tower.vision_model.",
+        "model.vision_tower.vision_model.",
+    ))
+    vheads = (hf.vision_config.num_attention_heads
+              if hasattr(hf, "vision_config") else 16)  # CLIP-L
+    vcfg = clip_config_from_state(state, vpfx, num_heads=vheads)
+    ppfx = find_prefix(state, "0.weight",
+                       ("model.mm_projector.", "mm_projector."))
+    params = {
+        "vision": convert_clip(state, vcfg.num_layers, vpfx, dtype=dtype),
+        "projector": convert_mlp2x(state, ppfx, dtype=dtype),
+        "text": convert_qwen2(state, tcfg, prefix="model.", dtype=dtype),
+    }
+    cfg = LongVAConfig(vision=vcfg, text=tcfg)
+    scfg = scfg or default_session_config(cfg)
+    return LongVASession(params, cfg, scfg, state_dtype=dtype), cfg

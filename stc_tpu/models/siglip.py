@@ -136,10 +136,13 @@ def _attn_full(q, k, v, num_heads):
     qh = q.reshape(B, Tq, H, D).transpose(0, 2, 1, 3)
     kh = k.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
     vh = v.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qh.astype(jnp.float32),
-                        kh.astype(jnp.float32)) * (D ** -0.5)
-    p = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+    # matmuls stay in the input dtype (bf16 rides the MXU fast path) with
+    # fp32 accumulation; softmax in fp32
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh,
+                   preferred_element_type=jnp.float32)
     return o.transpose(0, 2, 1, 3).reshape(B, Tq, C).astype(q.dtype)
 
 

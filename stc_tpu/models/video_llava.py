@@ -118,6 +118,36 @@ def init_random_params(cfg: VideoLlavaConfig, key, dtype=jnp.float32):
 
 @register_model("video_llava_7b")
 def load_video_llava_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
-    raise NotImplementedError(
-        "Video-LLaVA checkpoint conversion requires local weights; use "
-        "VideoLlavaSession with init_random_params for shape-level work.")
+    """Convert + assemble from a Video-LLaVA-hf checkpoint directory.
+
+    Reference counterpart: model/video_llava_rekv.py:100-140 (HF
+    VideoLlavaForConditionalGeneration).  Key layout: language_model.model.*
+    (Vicuna/Llama, no qkv bias), video_tower.vision_model.* (LanguageBind
+    CLIP-style), multi_modal_projector.linear_{1,2}.*.
+    """
+    from stc_tpu.models.convert import (clip_config_from_state, convert_clip,
+                                        convert_projector, convert_qwen2,
+                                        find_prefix, llama_config_from_hf,
+                                        load_hf_state, read_hf_config)
+    hf = read_hf_config(model_path)
+    tcfg = llama_config_from_hf(hf.text_config)
+    state = load_hf_state(model_path)
+    lpfx = find_prefix(state, "layers.0.self_attn.q_proj.weight", (
+        "language_model.model.", "model.language_model.model.",
+        "model.language_model."))
+    vpfx = find_prefix(state, "embeddings.class_embedding", (
+        "video_tower.vision_model.", "model.video_tower.vision_model.",
+        "video_tower.video_tower.vision_model."))
+    ppfx = find_prefix(state, "linear_1.weight", (
+        "multi_modal_projector.", "model.multi_modal_projector."))
+    vcfg = clip_config_from_state(
+        state, vpfx, num_heads=hf.vision_config.num_attention_heads
+        if hasattr(hf, "vision_config") else 16)
+    params = {
+        "vision": convert_clip(state, vcfg.num_layers, vpfx, dtype=dtype),
+        "projector": convert_projector(state, prefix=ppfx, dtype=dtype),
+        "text": convert_qwen2(state, tcfg, prefix=lpfx, dtype=dtype),
+    }
+    cfg = VideoLlavaConfig(vision=vcfg, text=tcfg)
+    scfg = scfg or default_session_config(cfg)
+    return VideoLlavaSession(params, cfg, scfg, state_dtype=dtype), cfg

@@ -33,46 +33,9 @@ def hf_clip():
     cfg = cl.CLIPConfig(hidden_size=32, num_layers=3, num_heads=4,
                         intermediate_size=64, image_size=56, patch_size=14)
 
-    state = {k: v for k, v in model.state_dict().items()}
-    import numpy as _np
-
-    def t(name):
-        return state["vision_model." + name].float().numpy()
-
-    L = cfg.num_layers
-
-    def stack(fmt, transpose=False):
-        m = _np.stack([t(fmt.format(i=i)) for i in range(L)])
-        return jnp.asarray(m.transpose(0, 2, 1) if transpose else m)
-
-    params = {
-        "class_embed": jnp.asarray(t("embeddings.class_embedding")),
-        "patch_w": jnp.asarray(
-            t("embeddings.patch_embedding.weight").reshape(32, -1).T),
-        "pos_embed": jnp.asarray(t("embeddings.position_embedding.weight")),
-        "pre_ln_w": jnp.asarray(t("pre_layrnorm.weight")),
-        "pre_ln_b": jnp.asarray(t("pre_layrnorm.bias")),
-        "layers": {
-            "ln1_w": stack("encoder.layers.{i}.layer_norm1.weight"),
-            "ln1_b": stack("encoder.layers.{i}.layer_norm1.bias"),
-            "wq": stack("encoder.layers.{i}.self_attn.q_proj.weight", True),
-            "bq": stack("encoder.layers.{i}.self_attn.q_proj.bias"),
-            "wk": stack("encoder.layers.{i}.self_attn.k_proj.weight", True),
-            "bk": stack("encoder.layers.{i}.self_attn.k_proj.bias"),
-            "wv": stack("encoder.layers.{i}.self_attn.v_proj.weight", True),
-            "bv": stack("encoder.layers.{i}.self_attn.v_proj.bias"),
-            "wo": stack("encoder.layers.{i}.self_attn.out_proj.weight", True),
-            "bo": stack("encoder.layers.{i}.self_attn.out_proj.bias"),
-            "ln2_w": stack("encoder.layers.{i}.layer_norm2.weight"),
-            "ln2_b": stack("encoder.layers.{i}.layer_norm2.bias"),
-            "fc1": stack("encoder.layers.{i}.mlp.fc1.weight", True),
-            "fc1_b": stack("encoder.layers.{i}.mlp.fc1.bias"),
-            "fc2": stack("encoder.layers.{i}.mlp.fc2.weight", True),
-            "fc2_b": stack("encoder.layers.{i}.mlp.fc2.bias"),
-        },
-        "post_ln_w": jnp.asarray(t("post_layernorm.weight")),
-        "post_ln_b": jnp.asarray(t("post_layernorm.bias")),
-    }
+    from stc_tpu.models.convert import convert_clip
+    params = convert_clip(dict(model.state_dict()), cfg.num_layers,
+                          dtype=jnp.float32)
     return model, cfg, params
 
 
