@@ -50,6 +50,7 @@ def apply_knobs(args):
     env = {
         "STC_N_LOCAL": args.n_local,
         "STC_TOPK": args.retrieve_size,
+        "STC_CHUNK_SIZE": args.retrieve_chunk_size,
         "STC_CACHE_STRATEGY": args.cache_strategy,
         "STC_UPDATE_TOKEN_RATIO": args.update_token_ratio,
         "STC_TOKEN_PER_FRAME": args.token_per_frame,

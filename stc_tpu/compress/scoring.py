@@ -164,6 +164,57 @@ def kept_token_indices(token_scores: jax.Array, keep_ratios: Sequence[float],
 
 
 # ---------------------------------------------------------------------------
+# Selectable block-retrieval strategies (reference aks/dpc_knn/l2norm
+# *_calc_block_topk, kv_cache_manager.py:934-1412) — host-side per question,
+# operating on the per-layer rep keys + question mean query
+# ---------------------------------------------------------------------------
+
+def chunked_topk(scores: np.ndarray, topk: int, chunk_size: int):
+    """Reference chunk-grouped top-k with remainder chunk + overflow filter
+    (kv_cache_manager.py:1029-1059).  scores: (n,).  Returns sorted indices."""
+    n = scores.shape[0]
+    if n <= topk:
+        return list(range(n))
+    rem = n % chunk_size
+    main = scores[: n - rem].reshape(-1, chunk_size).mean(axis=-1)
+    if rem > 0:
+        main = np.concatenate([main, [scores[n - rem:].mean()]])
+    top = np.sort(np.argsort(-main, kind="stable")[: topk // chunk_size])
+    idx = (top[:, None] * chunk_size + np.arange(chunk_size)[None, :]
+           ).reshape(-1)
+    return [int(i) for i in idx if i < n]
+
+
+def select_blocks(strategy: str, logits: np.ndarray, reps: np.ndarray,
+                  q_mean: np.ndarray, topk: int, chunk_size: int):
+    """Alternative block retrieval.  logits: (n,) rep.q dot scores;
+    reps: (n, C) flat rep vectors; q_mean: (C,).  Returns sorted indices.
+
+    - 'aks':     cosine scores -> adaptive keyframe sampling (reference
+                 aks_calc_block_topk: t1=0.8, t2=-100, max_depth=5).
+    - 'dpc_knn': density-peak clustering of the rep vectors (k=20).
+    - 'l2norm':  rep L2 norms as the score, chunk-grouped top-k
+                 (query-independent, reference l2norm_calc_block_topk).
+    """
+    n = logits.shape[0]
+    if n <= topk:
+        return list(range(n))
+    if strategy == "aks":
+        denom = (np.linalg.norm(reps, axis=-1) * np.linalg.norm(q_mean)
+                 + 1e-8)
+        cos = logits / denom
+        sel = adaptive_keyframe_sampling(cos[None], max_frames=topk)[0]
+        return sorted(sel)
+    if strategy == "dpc_knn":
+        idx = dpc_knn_select(jnp.asarray(reps), k=min(20, n - 1),
+                             n_keep=min(topk, n))
+        return sorted(int(i) for i in np.asarray(idx))
+    if strategy == "l2norm":
+        return chunked_topk(np.linalg.norm(reps, axis=-1), topk, chunk_size)
+    raise ValueError(f"unknown retrieval scorer: {strategy}")
+
+
+# ---------------------------------------------------------------------------
 # Retrieved-KV compression strategies (filter_tokens_* family)
 # ---------------------------------------------------------------------------
 

@@ -37,10 +37,24 @@ class ReKVConfig:
                                   # larger to retrieve host-evicted pages
     max_new_tokens: int = 128     # decode budget per question
     max_prompt_tokens: int = 512  # static prompt-prefill capacity for QA
+    # --- ablation paths (reference selectable strategies) ---
+    # block retrieval scorer: 'mean_dot' (default _calc_block_topk) | 'aks'
+    # (aks_calc_block_topk) | 'dpc_knn' (dpc_knn_calc_block_topk) | 'l2norm'
+    # (l2norm_calc_block_topk), kv_cache_manager.py:934-1412
+    retrieval_scorer: str = "mean_dot"
+    # retrieved-KV compression before QA attention (PRUNE_RETIREVED_KV +
+    # retrieved_KV_COMPRESSION_STRATEGY, rekv_attention.py:54-263/338-347):
+    # 'none' | 'filter_tokens_simple' | 'filter_tokens_random' |
+    # 'filter_tokens_magnitude' | 'filter_tokens_euclidean_distance' |
+    # 'filter_tokens_inverse_cosine' | 'filter_tokens_percentile' |
+    # 'filter_tokens_top_half'
+    retrieved_kv_compression: str = "none"
 
     def __post_init__(self):
         assert self.exc_block_size <= self.n_local
         assert self.topk % self.chunk_size == 0
+        assert self.retrieval_scorer in ("mean_dot", "aks", "dpc_knn",
+                                         "l2norm"), self.retrieval_scorer
 
     @property
     def rep_cap(self) -> int:
@@ -55,6 +69,14 @@ class ReKVConfig:
     def retrieve_len(self) -> int:
         """Length of the retrieval buffer: init tokens + topk blocks."""
         return self.n_init + self.topk * self.block_size
+
+    @property
+    def retrieved_keep_per_block(self) -> int:
+        """Tokens kept per retrieved block after retrieved-KV compression
+        (the reference filter_tokens_* strategies keep half per frame)."""
+        if self.retrieved_kv_compression == "none":
+            return self.block_size
+        return self.block_size // 2
 
     @property
     def decode_cap(self) -> int:
@@ -149,12 +171,16 @@ class SessionConfig:
         rekv = ReKVConfig(
             n_local=int(os.getenv("STC_N_LOCAL", "15000")),
             topk=int(os.getenv("STC_TOPK", "64")),
+            chunk_size=int(os.getenv("STC_CHUNK_SIZE", "1")),
             block_size=tpf,
             exc_block_size=tpf * chunk_frames,
             max_blocks=int(os.getenv("STC_MAX_BLOCKS", "1024")),
             # rep capacity bounds the retrievable stream length (frames);
             # the session raises before silently exceeding it
             max_rep_blocks=int(os.getenv("STC_MAX_REP_BLOCKS", "0")),
+            retrieval_scorer=os.getenv("STC_RETRIEVAL_SCORER", "mean_dot"),
+            retrieved_kv_compression=os.getenv(
+                "STC_RETRIEVED_KV_COMPRESSION", "none"),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,
                    encode_chunk_frames=chunk_frames)

@@ -55,14 +55,26 @@ def run_eval(
     os.makedirs(save_dir, exist_ok=True)
     rank_file = os.path.join(save_dir, f"results_rank{rank}.json")
 
+    # tag rows with the sweep knobs so report generators can pivot over
+    # retrieve_size x chunk_size (reference eval_videomme heatmaps)
+    tags = {}
+    if os.environ.get("STC_TOPK"):
+        tags["retrieve_size"] = int(os.environ["STC_TOPK"])
+    if os.environ.get("STC_CHUNK_SIZE"):
+        tags["chunk_size"] = int(os.environ["STC_CHUNK_SIZE"])
+
     done = 0
     for i, sample in enumerate(anno):
+        n0 = len(solver.results)
         try:
             solver(sample)
             done += 1
         except Exception as e:  # error row + continue, like the reference
             solver.results.append({
                 "video_id": sample.get("video_id"), "error": str(e)})
+        if tags:
+            for r in solver.results[n0:]:
+                r.update(tags)
         # incremental dump -> crash-resumable at sample granularity
         with open(rank_file, "w") as f:
             json.dump(solver.results, f)

@@ -451,20 +451,19 @@ def retrieve_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     return _gather_retrieved(kv, cfg, block_slot_safe, sel_valid)
 
 
-def score_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
-                 q_valid: jax.Array | None = None):
-    """Top-k block scoring over the FULL rep history (reference
-    _calc_block_topk): returns (abs_idx (B, topk) ascending, exists (B, topk))
-    where exists marks selections backed by real blocks (device or host)."""
+def score_block_logits(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
+                       q_valid: jax.Array | None = None):
+    """Raw rep-key relevance logits for every rep slot.
+
+    Returns (logits (B, Rc), blk_valid (B, Rc), q_mean (B, Hq, D)) — the
+    mean question query's dot product with each block's representative key
+    (GQA-grouped, equal to the reference's expanded flat dot).  Shared by
+    the default top-k scorer and the host-side ablation scorers
+    (aks/dpc_knn/l2norm)."""
     B, Hq, Lq, D = q.shape
     Hkv = kv.block_rep.shape[2]
     G = Hq // Hkv
     Rc = kv.block_rep.shape[1]
-    cs = cfg.chunk_size
-    k_chunks = cfg.topk // cs
-    assert Rc % cs == 0
-
-    # mean question query, grouped to kv heads (== reference's expanded dot)
     if q_valid is None:
         q_mean = jnp.mean(q.astype(jnp.float32), axis=2)      # (B, Hq, D)
     else:
@@ -474,10 +473,23 @@ def score_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     q_grp = q_mean.reshape(B, Hkv, G, D).sum(axis=2)          # (B, Hkv, D)
     logits = jnp.einsum("bnhd,bhd->bn", kv.block_rep.astype(jnp.float32),
                         q_grp)                                # (B, Rc)
-
     slot_ids = jnp.arange(Rc, dtype=jnp.int32)[None, :]
-    n = kv.num_blocks[:, None]
-    blk_valid = slot_ids < n
+    blk_valid = slot_ids < kv.num_blocks[:, None]
+    return logits, blk_valid, q_mean
+
+
+def score_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
+                 q_valid: jax.Array | None = None):
+    """Top-k block scoring over the FULL rep history (reference
+    _calc_block_topk): returns (abs_idx (B, topk) ascending, exists (B, topk))
+    where exists marks selections backed by real blocks (device or host)."""
+    B = q.shape[0]
+    Rc = kv.block_rep.shape[1]
+    cs = cfg.chunk_size
+    k_chunks = cfg.topk // cs
+    assert Rc % cs == 0
+
+    logits, blk_valid, _ = score_block_logits(kv, q, cfg, q_valid)
 
     # chunk-grouped masked mean (reference remainder-chunk semantics)
     lg = jnp.where(blk_valid, logits, 0.0).reshape(B, Rc // cs, cs)
@@ -517,6 +529,54 @@ def _gather_retrieved(kv: StreamKV, cfg: ReKVConfig, block_slot_safe,
          jnp.repeat(sel_valid, S, axis=1)], axis=1)            # (B, R)
     valid_len = cfg.n_init + sel_valid.sum(axis=1) * S         # (B,)
     return ret_k, ret_v, tok_valid, valid_len
+
+
+def compress_retrieved(kv: StreamKV, cfg: ReKVConfig, ret_k, ret_v,
+                       valid_len):
+    """Retrieved-KV compression (reference PRUNE_RETIREVED_KV hook,
+    rekv_attention.py:338-347): keep half of each retrieved block's tokens
+    by the configured filter_tokens_* strategy, scored against the mean of
+    ALL rep keys seen (origin_block_k mean in the reference).
+
+    ret_k/ret_v: (B, Hkv, R, D) with R = n_init + topk*S; returns
+    (ck, cv, new_valid_len) with R2 = n_init + topk*(S//2).  Kept indices
+    preserve block order, so the valid region stays a contiguous prefix.
+    """
+    from stc_tpu.compress.scoring import filter_tokens
+    strategy = cfg.retrieved_kv_compression
+    B, Hkv, R, D = ret_k.shape
+    S = cfg.block_size
+    keep = cfg.retrieved_keep_per_block
+    nI = cfg.n_init
+
+    # memory mean over the full rep history (masked by real blocks)
+    blk = jnp.arange(kv.block_rep.shape[1])[None, :] < kv.num_blocks[:, None]
+    w = blk.astype(jnp.float32)[:, :, None, None]
+    mem = (kv.block_rep.astype(jnp.float32) * w).sum(axis=1) / jnp.maximum(
+        w.sum(axis=1), 1.0)                                   # (B, Hkv, D)
+    mem_flat = mem.reshape(B, Hkv * D)
+
+    toks = ret_k[:, :, nI:].transpose(0, 2, 1, 3).reshape(B, R - nI, Hkv * D)
+
+    if strategy == "filter_tokens_random":
+        key = jax.random.fold_in(jax.random.key(0), kv.length[0])
+        keys = jax.random.split(key, B)
+        idx = jax.vmap(lambda t, m, k: filter_tokens(strategy, t, m, S, k)
+                       )(toks, mem_flat, keys)
+    else:
+        idx = jax.vmap(lambda t, m: filter_tokens(strategy, t, m, S)
+                       )(toks, mem_flat)                      # (B, topk*keep)
+    idx = jnp.sort(idx, axis=1)
+
+    bidx = jnp.arange(B)[:, None]
+    gk = ret_k[:, :, nI:][bidx, :, idx]   # (B, topk*keep, Hkv, D)
+    gv = ret_v[:, :, nI:][bidx, :, idx]
+    gk = gk.transpose(0, 2, 1, 3)
+    gv = gv.transpose(0, 2, 1, 3)
+    ck = jnp.concatenate([ret_k[:, :, :nI], gk], axis=2)
+    cv = jnp.concatenate([ret_v[:, :, :nI], gv], axis=2)
+    new_valid = nI + (valid_len - nI) // S * keep
+    return ck, cv, new_valid
 
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,10 @@ def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         q, k, v = _qkv(lp, hn, cfg)
         ret_k, ret_v, _, valid_len = retrieve_blocks(
             kv, q, rekv, q_valid, block_indices=retrieved_indices)
+        if rekv.retrieved_kv_compression != "none":
+            from stc_tpu.kvcache.engine import compress_retrieved
+            ret_k, ret_v, valid_len = compress_retrieved(
+                kv, rekv, ret_k, ret_v, valid_len)
         dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
                            rope_base=cfg.rope_base)
         # write question KV for this forward only; cursor reset afterwards
@@ -316,6 +320,21 @@ def qa_layer_score(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
     return q, k, v, abs_idx, exists
 
 
+def qa_layer_logits(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
+                    h: jax.Array, n_tokens: jax.Array):
+    """Layerwise-QA phase 1 for the ABLATION scorers: returns this layer's
+    qkv plus raw rep-relevance logits and the mean question query, so the
+    session can run a host-side selection strategy (aks/dpc_knn/l2norm —
+    reference *_calc_block_topk) between dispatches."""
+    from stc_tpu.kvcache.engine import score_block_logits
+    B, T, E = h.shape
+    q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
+    hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
+    q, k, v = _qkv(lp, hn, cfg)
+    logits, blk_valid, q_mean = score_block_logits(kv_l, q, rekv, q_valid)
+    return q, k, v, logits, blk_valid, q_mean
+
+
 def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
                     h: jax.Array, q, k, v, abs_idx, exists, use_host,
                     host_k, host_v, n_tokens: jax.Array):
@@ -339,6 +358,10 @@ def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
         jnp.where(m, hk, ret_k[:, :, rekv.n_init:]))
     ret_v = ret_v.at[:, :, rekv.n_init:].set(
         jnp.where(m, hv, ret_v[:, :, rekv.n_init:]))
+    if rekv.retrieved_kv_compression != "none":
+        from stc_tpu.kvcache.engine import compress_retrieved
+        ret_k, ret_v, valid_len = compress_retrieved(
+            kv_l, rekv, ret_k, ret_v, valid_len)
 
     dkv = init_decode_kv(rekv, B, Hkv, D, dtype=kv_l.block_k.dtype)
     dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,

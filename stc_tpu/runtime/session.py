@@ -93,8 +93,13 @@ class StreamingSession:
         self._embed = jax.jit(qw.embed_tokens)
         self._qa_score_l = jax.jit(functools.partial(
             qw.qa_layer_score, cfg=mc, rekv=rc))
+        self._qa_logits_l = jax.jit(functools.partial(
+            qw.qa_layer_logits, cfg=mc, rekv=rc))
         self._qa_attend_l = jax.jit(functools.partial(
             qw.qa_layer_attend, cfg=mc, rekv=rc))
+        # observability: per-layer block indices chosen by the last QA
+        # (layerwise paths only; the fused hot path keeps them on device)
+        self.last_retrieved_indices = None
 
         from stc_tpu.kvcache.engine import n_window_pages
         self._window_pages = n_window_pages(rc)
@@ -228,13 +233,12 @@ class StreamingSession:
         stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
                                                     np.int32)
 
-        if self._evicted_pages > 0:
-            # some pages live in host RAM: layer-by-layer retrieval with host
-            # fetches between dispatches (exact reference semantics), then
-            # prefill + decode.  External indices also take this path so that
-            # requested blocks below page_offset are served from the host
-            # store instead of silently dropped (reference
-            # set_retrieved_block_indices serves every stored block).
+        if self._evicted_pages > 0 or (rc.retrieval_scorer != "mean_dot"
+                                       and ext_idx is None):
+            # layer-by-layer retrieval with host work between dispatches:
+            # host-tier page fetches (exact reference semantics), external
+            # indices below page_offset, and the host-side ablation scorers
+            # (aks/dpc_knn/l2norm) all live here.
             dkvs = self._qa_retrieve_layerwise(q_ids, qlen, ext_idx=ext_idx)
             logits, dkvs = self._decode(
                 self.params, dkvs=dkvs,
@@ -299,16 +303,38 @@ class StreamingSession:
             ext_sorted = jnp.asarray(e[order][None])
             ext_exists = jnp.asarray(valid[order][None])
 
+        scorer = rc.retrieval_scorer
+        G = mc.num_heads // mc.num_kv_heads
+        picked = []
         dk, dv, cur = [], [], []
         for l in range(mc.num_layers):
             lp = jax.tree.map(lambda x: x[l], self.params["layers"])
             kv_l = jax.tree.map(lambda x: x[l], self.kvs)
-            q, k, v, abs_idx, exists = self._qa_score_l(
-                lp, kv_l=kv_l, h=h, n_tokens=n_tok)
-            if ext_idx is not None:
-                abs_idx, exists = ext_sorted, ext_exists
+            if ext_idx is None and scorer != "mean_dot":
+                # ablation scorers: device computes the rep logits, the
+                # selection strategy runs host-side (reference
+                # aks/dpc_knn/l2norm _calc_block_topk variants)
+                from stc_tpu.compress.scoring import select_blocks
+                q, k, v, logits, _, q_mean = self._qa_logits_l(
+                    lp, kv_l=kv_l, h=h, n_tokens=n_tok)
+                nb = self._total_blocks
+                reps = np.asarray(kv_l.block_rep, np.float32)[0, :nb]
+                reps_flat = np.repeat(reps, G, axis=1).reshape(nb, -1)
+                qf = np.asarray(q_mean, np.float32)[0].reshape(-1)
+                idx = select_blocks(scorer, np.asarray(logits)[0, :nb],
+                                    reps_flat, qf, rc.topk, rc.chunk_size)
+                arr = np.full((1, rc.topk), -1, np.int32)
+                arr[0, :len(idx)] = np.asarray(idx, np.int32)
+                abs_idx = jnp.asarray(arr)
+                exists = jnp.asarray(arr >= 0)
+            else:
+                q, k, v, abs_idx, exists = self._qa_score_l(
+                    lp, kv_l=kv_l, h=h, n_tokens=n_tok)
+                if ext_idx is not None:
+                    abs_idx, exists = ext_sorted, ext_exists
             abs_np = np.asarray(abs_idx)[0]
             exists_np = np.asarray(exists)[0]
+            picked.append([int(i) for i, e in zip(abs_np, exists_np) if e])
             use_host = exists_np & (abs_np < self._evicted_pages)
             host_k = np.zeros((1, rc.topk, Hkv, S, D),
                               dtype=np.asarray(self.kvs.block_k).dtype)
@@ -325,6 +351,7 @@ class StreamingSession:
             dk.append(k_l)
             dv.append(v_l)
             cur.append(c_l)
+        self.last_retrieved_indices = picked
         from stc_tpu.kvcache.state import DecodeKV
         return DecodeKV(k=jnp.stack(dk), v=jnp.stack(dv),
                         cursor=jnp.stack(cur))

@@ -272,3 +272,187 @@ def test_open_ended_accuracy():
     assert s["n"] == 2 and s["accuracy"] == 50.0
     s = open_ended_accuracy(rows, judge=lambda q, a, p: True)
     assert s["accuracy"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# Variant protocol drivers (reference StreamingBenchProactive/SQA/
+# StreamingOpenStreamText)
+# ---------------------------------------------------------------------------
+
+def _loader(path, t0, t1, fps):
+    return np.zeros((max(1, t1 - t0), 4, 4, 3), np.uint8)
+
+
+class ProactiveModel(FakeModel):
+    """Says 'no' until an internal countdown reaches zero, then 'yes' and
+    finally emits the ground-truth text."""
+
+    def __init__(self, yes_after=2):
+        super().__init__()
+        self.polls = 0
+        self.yes_after = yes_after
+
+    def question_answering(self, input_text, max_new_tokens=128):
+        self.calls.append("qa")
+        q = input_text["question"]
+        if "yes or no" in q:
+            self.polls += 1
+            return "yes" if self.polls >= self.yes_after else "no"
+        return "the ground truth"
+
+
+def test_streamingbench_proactive_protocol(tmp_path):
+    from stc_tpu.eval.streamingbench import StreamingBenchProactiveEval
+    m = ProactiveModel(yes_after=2)
+    data = [{"video_path": "x.mp4", "questions": [
+        {"time_stamp": "00:00:05", "ground_truth_time_stamp": "00:00:08",
+         "question": "say it when ready", "ground_truth_output": "the word",
+         "task_type": "proactive"},
+    ]}]
+    ev = StreamingBenchProactiveEval(m, "m", frame_loader=_loader)
+    out = ev.run(data, str(tmp_path / "o.json"))
+    rec = out[0]["questions"][0]["m"]
+    # polled at t=6 (no) and t=7 (yes) then asked the real question
+    assert rec["answered"] == 7
+    roles = [d["role"] for d in rec["dialog_history"]]
+    assert roles == ["user", "assistant"] * 3
+    assert rec["dialog_history"][-1]["content"] == "the ground truth"
+    # rerun resumes (no extra polls)
+    polls = m.polls
+    ev.run(out, str(tmp_path / "o.json"))
+    assert m.polls == polls
+
+    # scorer consumes the recorded dialog
+    from stc_tpu.eval.scorers import streamingbench_score_proactive
+    s = streamingbench_score_proactive(out, "m")
+    assert s["proactive"]["total"] == 1
+    assert s["proactive"]["time_correct"] == 1  # answered at 7, gt 8, tol 2
+    assert s["proactive"]["answer_correct"] == 0  # fake model's text differs
+
+
+def test_streamingbench_sqa_protocol(tmp_path):
+    from stc_tpu.eval.streamingbench import (PROMPT_TEMPLATE_SQA,
+                                             StreamingBenchSQAEval)
+
+    class EchoModel(FakeModel):
+        def __init__(self):
+            super().__init__()
+            self.prompts = []
+
+        def question_answering(self, input_text, max_new_tokens=128):
+            self.prompts.append(input_text["question"])
+            return "A"
+
+    m = EchoModel()
+    data = [[{"video_path": "x.mp4", "questions": [
+        {"time_stamp": "00:00:05", "question": "q1",
+         "options": ["a", "b", "c", "d"], "answer": "A"},
+        {"time_stamp": "00:00:09", "question": "q2",
+         "options": ["a", "b", "c", "d"], "answer": "B"},
+    ]}]]
+    ev = StreamingBenchSQAEval(m, "m", frame_loader=_loader)
+    out = ev.run(data, str(tmp_path / "o.json"))
+    assert out[0][0]["questions"][0]["m"] == "A"
+    # the second prompt must carry the first QA as context incl. the GT answer
+    assert "q1" in m.prompts[1] and "Answer: A" in m.prompts[1]
+    assert m.prompts[0].startswith(PROMPT_TEMPLATE_SQA[:40])
+    # options letterized
+    assert "A. a" in m.prompts[0]
+
+
+def test_streamingbench_openstream_protocol(tmp_path):
+    from stc_tpu.eval.streamingbench import StreamingOpenStreamTextEval
+    m = FakeModel()
+    data = [{"video_path": "x.mp4", "questions": [
+        {"time_stamp": "00:00:10", "question": "q1",
+         "options": ["a", "b", "c", "d"]},
+        {"time_stamp": "00:00:25", "question": "q2"},  # open-ended
+    ]}]
+    ev = StreamingOpenStreamTextEval(m, "m", frame_loader=_loader)
+    out = ev.run(data, str(tmp_path / "o.json"))
+    # ONE continuous session: a single clear/init, two encodes of the DELTAS
+    assert m.calls.count("clear") == 1
+    assert "video:10" in m.calls and "video:15" in m.calls
+    assert m.encoded_frames == 25
+    assert out[0]["questions"][0]["m"].startswith("A")
+
+
+# ---------------------------------------------------------------------------
+# Report generators (reference per-dataset eval scripts)
+# ---------------------------------------------------------------------------
+
+def test_videomme_sweep_pivot(tmp_path):
+    from stc_tpu.eval.reports import save_heatmap, videomme_sweep
+    rows = []
+    for rs, cs, accs in [(16, 1, [1, 0]), (64, 1, [1, 1]), (16, 2, [0, 0])]:
+        rows += [{"retrieve_size": rs, "chunk_size": cs, "qa_acc": a}
+                 for a in accs]
+    pivot = videomme_sweep(rows)
+    assert pivot[1][16] == 50.0 and pivot[1][64] == 100.0
+    assert pivot[2][16] == 0.0
+    # heatmap renders when matplotlib exists (artifact optional)
+    ok = save_heatmap(pivot, str(tmp_path / "h.png"))
+    assert not ok or (tmp_path / "h.png").exists()
+
+
+def test_mlvu_by_task():
+    from stc_tpu.eval.reports import mlvu_by_task
+    rows = [{"task": "ego", "qa_acc": 1}, {"task": "ego", "qa_acc": 0},
+            {"task": "count", "qa_acc": 1}]
+    out = mlvu_by_task(rows)
+    assert out["ego"] == 50.0 and out["count"] == 100.0
+    assert out["plotQA"] is None
+    assert out["overall"] == 75.0
+
+
+def test_egoschema_report(tmp_path):
+    from stc_tpu.eval.reports import egoschema_report
+    rows = [
+        {"video_id": "v1", "question": "q", "qa_acc": 1, "category": "c1",
+         "pred_choice": "A", "correct_choice": "A"},
+        {"video_id": "v2", "question": "q", "qa_acc": 0, "category": "c1",
+         "pred_choice": "B", "correct_choice": "A"},
+    ]
+    rep = egoschema_report(rows, output_dir=str(tmp_path))
+    assert rep["accuracy"] == 50.0
+    assert rep["by_category"]["c1"]["total"] == 2
+    assert rep["top_errors"][0]["video_id"] == "v2"
+    assert (tmp_path / "report.md").exists()
+    assert (tmp_path / "report.json").exists()
+
+
+def test_gpt_judge_parsing_and_fallback():
+    from stc_tpu.eval.reports import (gpt_judge_open_ended,
+                                      parse_judge_response)
+    assert parse_judge_response("{'pred': 'yes', 'score': 4}") == {
+        "pred": "yes", "score": 4.0}
+    rows = [{"question": "q", "answer": "cat", "pred_answer": "a cat here"},
+            {"question": "q", "answer": "dog", "pred_answer": "a cat"}]
+    # no OPENAI_API_KEY in the test env -> containment fallback
+    out = gpt_judge_open_ended(rows)
+    assert out["judge"] in ("containment-fallback", "gpt")
+    if out["judge"] == "containment-fallback":
+        assert out["accuracy"] == 50.0
+
+    # a custom judge callable is used verbatim
+    def judge(q, a, p):
+        return {"pred": "yes", "score": 5.0}
+    out = gpt_judge_open_ended(rows, judge=judge)
+    assert out["judge"] == "gpt" and out["accuracy"] == 100.0
+
+
+def test_runner_tags_sweep_knobs(tmp_path, monkeypatch):
+    import stc_tpu.eval.runner as runner_mod
+    from stc_tpu.eval.runner import run_eval
+    monkeypatch.setenv("STC_TOPK", "32")
+    monkeypatch.setenv("STC_CHUNK_SIZE", "2")
+    anno = [{"video_id": "v", "video_path": "x.mp4",
+             "conversations": [{"question": "q", "choices":
+                                ["A. a", "B. b"], "answer": "A. a"}]}]
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(anno))
+    m = FakeModel()
+    rows, _ = run_eval("mlvu", m, str(tmp_path), anno_path=str(anno_path),
+                       rank=0, world=1, frame_loader=fake_frames)
+    assert rows and rows[0]["retrieve_size"] == 32
+    assert rows[0]["chunk_size"] == 2
