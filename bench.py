@@ -168,6 +168,46 @@ def bench_qa():
     return lat[len(lat) // 2]
 
 
+def bench_qa_host(warm=False):
+    """QA latency when retrieval hits HOST-evicted pages (two-tier store,
+    speculative-prefetch path).  Cold: the prefetch table is cleared between
+    repeats, so every repeat pays the new-question cost — a miss round (one
+    dispatch), the host fetches, one bulk delta transfer to the device table,
+    and the served round(s).  Warm: the table persists (repeat/related
+    questions), so each QA is a single dispatch with zero host->device
+    traffic.  The cold-warm gap is pure transfer: ~47 MB of pages at this
+    relay's ~50 MB/s; on a real v5e host PCIe this is ~5 ms."""
+    sess, cfg = build()
+    sess.encode_init_prompt(list(range(14)))
+    fast_forward(sess, STEADY_BLOCKS)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(CHUNK, 384, 384, 3), dtype=np.uint8)
+    sess.encode_video(frames)
+    # move the oldest 128 pages to host RAM (long-stream production state);
+    # rep keys of fast-forwarded pages are zero, so the top-64 retrieval
+    # lands entirely in the host tier — the worst case for this path
+    from stc_tpu.kvcache.host_tier import evict_pages
+    E = 128
+    ev_k, ev_v, sess.kvs = evict_pages(sess.kvs, E)
+    sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
+    sess._evicted_pages = E
+    hard_sync(sess)
+    q = list(rng.integers(1, 1000, size=24))
+    p = list(rng.integers(1, 1000, size=40))
+
+    lat = []
+    for rep in range(7):
+        if not warm:
+            sess.hp_reset()  # cold table each repeat (new-question case)
+        t0 = time.perf_counter()
+        ans = sess.question_answering(q, p, stop_token_ids=[-2],
+                                      max_new_tokens=16)
+        lat.append((time.perf_counter() - t0) * 1000)
+        assert len(ans) == 16
+    lat.sort()
+    return lat[len(lat) // 2]
+
+
 def main():
     mode = os.getenv("BENCH_MODE", "ingest")
     if mode == "ingest":
@@ -207,6 +247,26 @@ def main():
             "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
                       "+ 16-token greedy decode, llava-ov-0.5b shapes, "
                       "steady-state full window)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "qa_host":
+        ms = bench_qa_host()
+        print(json.dumps({
+            "metric": "QA latency p50 with host-tier hits (top-64 retrieval "
+                      "entirely from host RAM, cold prefetch table, + 40-token "
+                      "prefill + 16-token decode, llava-ov-0.5b shapes)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "qa_host_warm":
+        ms = bench_qa_host(warm=True)
+        print(json.dumps({
+            "metric": "QA latency p50 with host-tier hits, WARM prefetch "
+                      "table (repeat/related questions: one dispatch, zero "
+                      "host->device traffic), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec

@@ -16,6 +16,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MODES = [
     ("ingest", {}),
     ("qa", {}),
+    ("qa_host", {}),
+    ("qa_host_warm", {}),
     ("multistream", {}),
     ("7b", {"BENCH_FRAMES": "48"}),
 ]

@@ -199,6 +199,10 @@ def select_blocks(strategy: str, logits: np.ndarray, reps: np.ndarray,
     n = logits.shape[0]
     if n <= topk:
         return list(range(n))
+    if strategy == "mean_dot":
+        # default scorer (host-side replica of engine.score_blocks) — used
+        # when the layerwise path is driven directly for observability
+        return chunked_topk(logits, topk, chunk_size)
     if strategy == "aks":
         denom = (np.linalg.norm(reps, axis=-1) * np.linalg.norm(q_mean)
                  + 1e-8)

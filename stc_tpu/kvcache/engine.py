@@ -508,16 +508,76 @@ def score_blocks(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     return abs_idx, exists
 
 
+def retrieve_blocks_hosttier(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
+                             q_valid: jax.Array | None,
+                             hp_k: jax.Array, hp_v: jax.Array,
+                             hp_ids: jax.Array,
+                             block_indices: jax.Array | None = None):
+    """retrieve_blocks with a prefetched host-page table.
+
+    Serves retrieved pages from BOTH tiers inside one dispatch: device-resident
+    pages come from the paged store, host-evicted pages from the prefetched
+    table (hp_k/hp_v: (B, Hkv, M, S, D); hp_ids: (B, M) absolute page ids in
+    ARBITRARY order — the session appends columns incrementally — padded with
+    int32 max).  Selected pages present in neither tier are reported in
+    `missing` so the session can fetch them and re-dispatch — the
+    speculative-prefetch loop converges to EXACT reference semantics because a
+    run whose every selection was served is self-consistent (layer l's hidden
+    states, and hence layer l+1's scores, match the unconstrained forward).
+
+    Returns (ret_k, ret_v, token_valid, valid_len, abs_idx, exists, missing).
+    """
+    B = q.shape[0]
+    Nb = cfg.max_blocks
+
+    if block_indices is not None:
+        abs_idx = jnp.asarray(block_indices, jnp.int32)
+        exists = (abs_idx >= 0) & (abs_idx < kv.num_blocks[:, None])
+    else:
+        abs_idx, exists = score_blocks(kv, q, cfg, q_valid)
+
+    resident = abs_idx >= kv.page_offset[:, None]
+    # unsorted-table lookup: equality match (topk x M is tiny)
+    eq = hp_ids[:, None, :] == abs_idx[:, :, None]             # (B, topk, M)
+    found = jnp.any(eq, axis=-1) & ~resident
+    pos_c = jnp.argmax(eq, axis=-1).astype(jnp.int32)          # (B, topk)
+    served = exists & (resident | found)
+    missing = exists & ~resident & ~found
+
+    # served pages first in ascending absolute order (reference block order)
+    order_key = jnp.where(served, abs_idx, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(order_key, axis=1)
+    abs_s = jnp.take_along_axis(abs_idx, order, axis=1)
+    sel_valid = jnp.take_along_axis(served, order, axis=1)
+    res_s = jnp.take_along_axis(resident, order, axis=1)
+    pos_s = jnp.take_along_axis(pos_c, order, axis=1)
+
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    slot_dev = jnp.clip(abs_s - kv.page_offset[:, None], 0, Nb - 1)
+    gk_dev = kv.block_k[bidx, :, slot_dev]      # (B, topk, Hkv, S, D)
+    gv_dev = kv.block_v[bidx, :, slot_dev]
+    gk_host = hp_k[bidx, :, pos_s]
+    gv_host = hp_v[bidx, :, pos_s]
+    m = res_s[:, :, None, None, None]
+    gk = jnp.where(m, gk_dev, gk_host)
+    gv = jnp.where(m, gv_dev, gv_host)
+    ret_k, ret_v, tok_valid, valid_len = _pack_retrieved(kv, cfg, gk, gv,
+                                                         sel_valid)
+    return ret_k, ret_v, tok_valid, valid_len, abs_idx, exists, missing
+
+
 def _gather_retrieved(kv: StreamKV, cfg: ReKVConfig, block_slot_safe,
                       sel_valid):
     B = block_slot_safe.shape[0]
-    Hkv = kv.block_rep.shape[2]
-    S = cfg.block_size
-    D = kv.block_k.shape[-1]
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
     gk = kv.block_k[bidx, :, block_slot_safe]   # (B, topk, Hkv, S, D)
     gv = kv.block_v[bidx, :, block_slot_safe]
+    return _pack_retrieved(kv, cfg, gk, gv, sel_valid)
 
+
+def _pack_retrieved(kv: StreamKV, cfg: ReKVConfig, gk, gv, sel_valid):
+    """Pack gathered (B, topk, Hkv, S, D) pages behind the init tokens."""
+    B, _, Hkv, S, D = gk.shape
     # pack to (B, Hkv, topk*S, D), tokens in block order
     gk = gk.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, cfg.topk * S, D)
     gv = gv.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, cfg.topk * S, D)

@@ -7,10 +7,11 @@ device store is compacted (page_offset advances).  Representative keys stay
 on device for the FULL history (they are ~1/60th of the page bytes) PROVIDED
 ReKVConfig.max_rep_blocks is sized to the stream length — the session raises
 before a stream outgrows rep_cap, so retrieval provably scores every block
-ever seen; questions whose top-k hits
-host-resident pages are answered through the session's layerwise QA path,
-which fetches those pages between per-layer dispatches (host callbacks
-inside jit hang on this platform — PLATFORM_NOTES.md).
+ever seen.  Questions whose top-k hits host-resident pages are answered by
+the session's speculative-prefetch QA (runtime/session.py _qa_hosttier): each
+round is ONE dispatch serving pages from both tiers, and missing pages are
+staged between rounds (host callbacks inside jit hang on this platform —
+PLATFORM_NOTES.md — so per-layer io_callback fetches are not an option).
 """
 
 from __future__ import annotations

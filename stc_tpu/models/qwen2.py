@@ -250,6 +250,94 @@ def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
     return dkvs
 
 
+def qa_retrieve_hosttier_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                              kvs: StreamKV, dkvs: DecodeKV,
+                              embeds: jax.Array, n_tokens: jax.Array,
+                              hp_k: jax.Array, hp_v: jax.Array,
+                              hp_ids: jax.Array,
+                              retrieved_indices: jax.Array | None = None):
+    """Question forward with per-layer retrieval served from BOTH KV tiers.
+
+    hp_k/hp_v: (L, B, Hkv, M, S, D) prefetched host pages per layer;
+    hp_ids: (L, B, M) their ascending absolute ids (pad: int32 max).
+    Same semantics as qa_retrieve_step once the speculative-prefetch loop
+    converges (see engine.retrieve_blocks_hosttier).  Returns
+    (dkvs, abs_idx (L, B, topk), exists, missing) — `missing` marks selected
+    host pages absent from the table (the session fetches and re-dispatches).
+    """
+    from stc_tpu.kvcache.engine import retrieve_blocks_hosttier
+    B, T, E = embeds.shape
+    n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
+    q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
+
+    def body(h, xs):
+        lp, kv, dkv, hk, hv, hi = xs
+        hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(lp, hn, cfg)
+        ret_k, ret_v, _, valid_len, abs_idx, exists, missing = \
+            retrieve_blocks_hosttier(kv, q, rekv, q_valid, hk, hv, hi,
+                                     block_indices=retrieved_indices)
+        if rekv.retrieved_kv_compression != "none":
+            from stc_tpu.kvcache.engine import compress_retrieved
+            ret_k, ret_v, valid_len = compress_retrieved(
+                kv, rekv, ret_k, ret_v, valid_len)
+        dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                           rope_base=cfg.rope_base)
+        dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)
+        q_slots = valid_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        o = decode_attend(q, q_slots, dkv_q, rekv, rope_base=cfg.rope_base)
+        dkv = DecodeKV(k=dkv_q.k, v=dkv_q.v, cursor=valid_len)
+        h = h + _proj_out(lp, o, cfg)
+        hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + _mlp(lp, hn, cfg)
+        return h, (dkv, abs_idx, exists, missing)
+
+    _, (dkvs, abs_idx, exists, missing) = jax.lax.scan(
+        body, embeds, (params["layers"], kvs, dkvs, hp_k, hp_v, hp_ids))
+    return dkvs, abs_idx, exists, missing
+
+
+def answer_question_hosttier(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                             kvs: StreamKV, q_ids: jax.Array,
+                             q_len: jax.Array, p_ids: jax.Array,
+                             p_len: jax.Array, stop_ids: jax.Array,
+                             max_new_tokens: int, hp_kv, hp_ids,
+                             retrieved_indices: jax.Array | None = None):
+    """One-dispatch QA against the two-tier store: retrieval (device pages +
+    prefetched host pages) + prompt prefill + greedy decode.  The prefill and
+    decode stages are skipped (lax.cond) when any selected host page was
+    missing from the table — the session fetches it and re-dispatches, so the
+    wasted work per miss round is one question forward.
+
+    hp_kv: (2, L, B, Hkv, M, S, D) — the session's device-resident prefetch
+    table, stacked [k, v] so it rides in as ONE buffer (splitting outside jit
+    would cost two extra dispatches on this platform).
+    Returns (tokens, count, abs_idx (L, B, topk), missing).
+    """
+    B = q_ids.shape[0]
+    dkvs = init_decode_state(cfg, rekv, B, kvs.block_k.dtype)
+    dkvs, abs_idx, exists, missing = qa_retrieve_hosttier_step(
+        params, cfg, rekv, kvs, dkvs, embed_tokens(params, q_ids),
+        n_tokens=q_len, hp_k=hp_kv[0], hp_v=hp_kv[1], hp_ids=hp_ids,
+        retrieved_indices=retrieved_indices)
+
+    def answer(dkvs):
+        logits, dkvs = decode_step(params, cfg, rekv, dkvs,
+                                   embed_tokens(params, p_ids), p_len)
+        last = jnp.take_along_axis(logits, (p_len - 1)[:, None, None],
+                                   axis=1)[:, 0]
+        tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
+                                         stop_ids, max_new_tokens)
+        return tokens, count
+
+    def skip(dkvs):
+        return (jnp.zeros((B, max_new_tokens), jnp.int32),
+                jnp.zeros((B,), jnp.int32))
+
+    tokens, count = jax.lax.cond(jnp.any(missing), skip, answer, dkvs)
+    return tokens, count, abs_idx, exists, missing
+
+
 def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
                 dkvs: DecodeKV, embeds: jax.Array, n_tokens: jax.Array
                 ) -> Tuple[jax.Array, DecodeKV]:
@@ -304,20 +392,6 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
     tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
                                      stop_ids, max_new_tokens)
     return tokens, count
-
-
-def qa_layer_score(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
-                   h: jax.Array, n_tokens: jax.Array):
-    """Layerwise-QA phase 1: project this layer's qkv and score ALL blocks
-    (device + host history via the rep array).  Used when host-evicted pages
-    may be retrieved — the host fetch happens between dispatches."""
-    from stc_tpu.kvcache.engine import score_blocks
-    B, T, E = h.shape
-    q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
-    hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
-    q, k, v = _qkv(lp, hn, cfg)
-    abs_idx, exists = score_blocks(kv_l, q, rekv, q_valid)
-    return q, k, v, abs_idx, exists
 
 
 def qa_layer_logits(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,

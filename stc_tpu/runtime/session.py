@@ -90,9 +90,25 @@ class StreamingSession:
         self._answer = jax.jit(functools.partial(
             qw.answer_question, cfg=mc, rekv=rc),
             static_argnames=("max_new_tokens",))
+        self._answer_host = jax.jit(functools.partial(
+            qw.answer_question_hosttier, cfg=mc, rekv=rc),
+            static_argnames=("max_new_tokens",))
+
+        def _hp_scatter_fn(hp_kv, hp_ids, delta, coords):
+            # delta: (n, 2, Hkv, S, D); coords: (n, 4) = (layer, b, col, id)
+            li, bi, ci, pi = (coords[:, 0], coords[:, 1], coords[:, 2],
+                              coords[:, 3])
+            # advanced indices at axes (1, 2, 4) move to the front: the
+            # update window is (n, 2, Hkv, S, D) — page-row granular
+            hp_kv = hp_kv.at[:, li, bi, :, ci].set(delta)
+            hp_ids = hp_ids.at[li, bi, ci].set(pi)
+            return hp_kv, hp_ids
+
+        self._hp_scatter = jax.jit(_hp_scatter_fn, donate_argnums=(0, 1))
+        # HBM cap for the prefetch table: reset when any (layer, b) table
+        # outgrows this many columns (bytes = 2*L*B*Hkv*M*S*D)
+        self._hp_cap = max(2 * rc.topk, 64)
         self._embed = jax.jit(qw.embed_tokens)
-        self._qa_score_l = jax.jit(functools.partial(
-            qw.qa_layer_score, cfg=mc, rekv=rc))
         self._qa_logits_l = jax.jit(functools.partial(
             qw.qa_layer_logits, cfg=mc, rekv=rc))
         self._qa_attend_l = jax.jit(functools.partial(
@@ -117,6 +133,7 @@ class StreamingSession:
         self.kvs = qw.init_stream_state(self.mcfg, self.rekv, self.batch,
                                         self.state_dtype)
         self.host_store = HostBlockStore()
+        self.hp_reset()
         self._total_blocks = 0
         self._evicted_pages = 0
         self._pruner_state = None  # reset by the vision pipeline if attached
@@ -200,6 +217,7 @@ class StreamingSession:
         stop_token_ids: Sequence[int],
         max_new_tokens: int = 128,
         retrieved_indices: Optional[Sequence[int]] = None,
+        all_streams: bool = False,
     ) -> List[int]:
         """Retrieve with `question_ids`, then greedy-decode from `prompt_ids`.
 
@@ -207,6 +225,9 @@ class StreamingSession:
         including the anti-EOS-at-step-0 top-2 fallback (:127-131).
         retrieved_indices: optional external block indices (reference
         external-retrieval path); padded/truncated to topk.
+        all_streams: with batch > 1, return one token list per stream
+        instead of stream 0's (the question is shared; retrieval and the
+        answer are per-stream).
         """
         rc = self.rekv
         B = self.batch
@@ -233,13 +254,12 @@ class StreamingSession:
         stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
                                                     np.int32)
 
-        if self._evicted_pages > 0 or (rc.retrieval_scorer != "mean_dot"
-                                       and ext_idx is None):
+        if rc.retrieval_scorer != "mean_dot" and ext_idx is None:
             # layer-by-layer retrieval with host work between dispatches:
-            # host-tier page fetches (exact reference semantics), external
-            # indices below page_offset, and the host-side ablation scorers
-            # (aks/dpc_knn/l2norm) all live here.
-            dkvs = self._qa_retrieve_layerwise(q_ids, qlen, ext_idx=ext_idx)
+            # the host-side ablation scorers (aks/dpc_knn/l2norm) pick blocks
+            # between per-layer dispatches; host-tier pages are fetched the
+            # same way.
+            dkvs = self._qa_retrieve_layerwise(q_ids, qlen)
             logits, dkvs = self._decode(
                 self.params, dkvs=dkvs,
                 embeds=self._embed(self.params, jnp.asarray(p_ids)),
@@ -248,6 +268,12 @@ class StreamingSession:
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
                 stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+        elif self._evicted_pages > 0:
+            # two-tier store: speculative-prefetch QA — whole rounds in ONE
+            # dispatch each, exact once the chosen host pages are all staged
+            # (typically 2 rounds; 1 when the table is warm or ext_idx given)
+            tokens, count = self._qa_hosttier(
+                q_ids, qlen, p_ids, plen, stop_arr, max_new_tokens, ext_idx)
         elif ext_idx is not None:
             dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
             dkvs = self._qa_retrieve(
@@ -272,37 +298,142 @@ class StreamingSession:
                 p_len=jnp.full((B,), plen, jnp.int32),
                 stop_ids=jnp.asarray(stop_arr),
                 max_new_tokens=max_new_tokens)
-        n = int(np.asarray(count)[0])
-        return [int(t) for t in np.asarray(tokens)[0, :n]]
+        tokens = np.asarray(tokens)
+        count = np.asarray(count)
+        if all_streams:
+            return [[int(t) for t in tokens[b, :int(count[b])]]
+                    for b in range(B)]
+        return [int(t) for t in tokens[0, :int(count[0])]]
 
     # ------------------------------------------------------------------ #
-    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen: int,
-                               ext_idx=None):
-        """Question forward with per-layer host-tier fetches.
+    def hp_reset(self):
+        """Drop the speculative-prefetch table (host pages staged on device).
+        Called from clear_cache and when the table outgrows its HBM cap."""
+        self._hp_cols = {}     # (layer, b) -> {abs page id: device column}
+        self._hp_pending = []  # (layer, b, col, page id, k, v) not yet staged
+        self._hp_dev = None    # (hp_kv (2,L,B,Hkv,M,S,D), hp_ids (L,B,M))
 
-        One (score, fetch, attend) round per layer: scoring ranks the FULL
-        block history via the on-device rep array; pages already evicted to
-        host RAM are fetched between the two dispatches.  Exact reference
-        semantics (each layer retrieves with its own question queries).
-        ext_idx: optional (B, topk) precomputed block indices (external
-        retrieval) — used for every layer instead of the scored top-k."""
-        assert self.batch == 1, "layerwise QA currently supports batch=1"
+    def _hp_fetch(self, layer: int, b: int, ids):
+        """Pull host pages and queue them for the device prefetch table."""
+        cols = self._hp_cols.setdefault((layer, b), {})
+        need = [int(i) for i in ids if int(i) not in cols]
+        if not need:
+            return
+        hk, hv = self.host_store.fetch(layer, b, need)
+        for j, p in enumerate(need):
+            col = len(cols)
+            cols[p] = col
+            self._hp_pending.append((layer, b, col, p, hk[j], hv[j]))
+
+    def _hp_device(self):
+        """Sync the device-resident prefetch table and return
+        (hp_kv (2, L, B, Hkv, M, S, D), hp_ids (L, B, M)).
+
+        The table is append-only on device: each sync transfers ONLY the
+        newly fetched pages (packed delta + (l, b, col, id) coords, one
+        scatter dispatch) — warm questions re-dispatch with zero host->device
+        traffic.  M is bucketed to bound recompiles of the answer step."""
+        rc, mc = self.rekv, self.mcfg
+        L, B = mc.num_layers, self.batch
+        S, Hkv, D = rc.block_size, mc.num_kv_heads, mc.head_dim
+        longest = max([len(c) for c in self._hp_cols.values()] or [0])
+        M = _bucket(max(longest, 1), 1 << 30)
+        dt = self.kvs.block_k.dtype
+        imax = np.iinfo(np.int32).max
+        if self._hp_dev is None:
+            kv = jnp.zeros((2, L, B, Hkv, M, S, D), dt)
+            ids = jnp.full((L, B, M), imax, jnp.int32)
+        else:
+            kv, ids = self._hp_dev
+            M_old = ids.shape[-1]
+            if M > M_old:
+                kv = jnp.concatenate(
+                    [kv, jnp.zeros((2, L, B, Hkv, M - M_old, S, D), dt)],
+                    axis=4)
+                ids = jnp.concatenate(
+                    [ids, jnp.full((L, B, M - M_old), imax, jnp.int32)],
+                    axis=2)
+        if self._hp_pending:
+            delta = np.stack([np.stack([k, v]) for (_, _, _, _, k, v)
+                              in self._hp_pending])   # (n, 2, Hkv, S, D)
+            coords = np.asarray([(l, b, c, p) for (l, b, c, p, _, _)
+                                 in self._hp_pending], np.int32)
+            kv, ids = self._hp_scatter(kv, ids, jnp.asarray(delta),
+                                       jnp.asarray(coords))
+            self._hp_pending = []
+        self._hp_dev = (kv, ids)
+        return kv, ids
+
+    def _qa_hosttier(self, q_ids, qlen, p_ids, plen, stop_arr,
+                     max_new_tokens: int, ext_idx=None):
+        """QA against the two-tier store via speculative prefetch.
+
+        Each round is ONE dispatch (question forward + prefill + decode,
+        answer_question_hosttier); between rounds the host pages the forward
+        selected but could not serve are staged into the table.  A round whose
+        selections were all served is self-consistent and therefore EXACT
+        (identical to an all-device run) — see retrieve_blocks_hosttier.
+        Works at any batch; the table persists across questions, so repeat
+        questions usually converge in a single round."""
+        rc, mc = self.rekv, self.mcfg
+        B, L = self.batch, mc.num_layers
+        if max([len(c) for c in self._hp_cols.values()] or [0]) > self._hp_cap:
+            self.hp_reset()  # table outgrew its HBM budget: restage on demand
+        if ext_idx is not None:
+            # external indices are known up front: stage their host pages now
+            e = np.asarray(ext_idx)
+            for b in range(B):
+                need = [int(i) for i in e[b] if 0 <= i < self._evicted_pages]
+                for l in range(L):
+                    self._hp_fetch(l, b, need)
+        kw = dict(q_ids=jnp.asarray(q_ids),
+                  q_len=jnp.full((B,), qlen, jnp.int32),
+                  p_ids=jnp.asarray(p_ids),
+                  p_len=jnp.full((B,), plen, jnp.int32),
+                  stop_ids=jnp.asarray(stop_arr),
+                  max_new_tokens=max_new_tokens,
+                  retrieved_indices=ext_idx)
+        # F grows monotonically and is bounded by the host-page count, so the
+        # loop terminates; in practice round 1 stages everything round 2 needs
+        for _ in range(int(self._evicted_pages) + 2):
+            hp_kv, hp_ids = self._hp_device()
+            tokens, count, abs_idx, exists, missing = self._answer_host(
+                self.params, kvs=self.kvs, hp_kv=hp_kv, hp_ids=hp_ids, **kw)
+            miss = np.asarray(missing)
+            if not miss.any():
+                a, ex = np.asarray(abs_idx), np.asarray(exists)
+                self.last_retrieved_indices = [
+                    [[int(i) for i, e in zip(a[l, b], ex[l, b]) if e]
+                     for b in range(B)] if B > 1 else
+                    [int(i) for i, e in zip(a[l, 0], ex[l, 0]) if e]
+                    for l in range(L)]
+                return tokens, count
+            a = np.asarray(abs_idx)
+            for l in range(L):
+                for b in range(B):
+                    if miss[l, b].any():
+                        self._hp_fetch(l, b, a[l, b][miss[l, b]])
+        raise RuntimeError("host-tier speculative retrieval did not converge")
+
+    # ------------------------------------------------------------------ #
+    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen: int):
+        """Question forward with per-layer host-side block selection.
+
+        Serves the ablation scorers (aks/dpc_knn/l2norm — reference
+        *_calc_block_topk variants): the device computes each layer's rep
+        logits, the selection strategy runs host-side between dispatches, and
+        host-tier pages picked by it are fetched the same way.  Any batch.
+        question_answering never routes the default mean_dot scorer here
+        (it runs fully on device — fused or speculative-prefetch paths),
+        but select_blocks replicates it for direct/observability use."""
         rc = self.rekv
         mc = self.mcfg
-        n_tok = jnp.full((1,), qlen, jnp.int32)
+        B = self.batch
+        n_tok = jnp.full((B,), qlen, jnp.int32)
         h = self._embed(self.params, jnp.asarray(q_ids))
         S, Hkv, D = rc.block_size, mc.num_kv_heads, mc.head_dim
 
-        if ext_idx is not None:
-            # valid blocks first (ascending), invalid last — the gathered
-            # buffer's valid region must be a contiguous prefix
-            e = np.asarray(ext_idx)[0]
-            valid = (e >= 0) & (e < self._total_blocks)
-            order = np.argsort(np.where(valid, e, np.iinfo(np.int32).max),
-                               kind="stable")
-            ext_sorted = jnp.asarray(e[order][None])
-            ext_exists = jnp.asarray(valid[order][None])
-
+        from stc_tpu.compress.scoring import select_blocks
         scorer = rc.retrieval_scorer
         G = mc.num_heads // mc.num_kv_heads
         picked = []
@@ -310,42 +441,43 @@ class StreamingSession:
         for l in range(mc.num_layers):
             lp = jax.tree.map(lambda x: x[l], self.params["layers"])
             kv_l = jax.tree.map(lambda x: x[l], self.kvs)
-            if ext_idx is None and scorer != "mean_dot":
-                # ablation scorers: device computes the rep logits, the
-                # selection strategy runs host-side (reference
-                # aks/dpc_knn/l2norm _calc_block_topk variants)
-                from stc_tpu.compress.scoring import select_blocks
-                q, k, v, logits, _, q_mean = self._qa_logits_l(
-                    lp, kv_l=kv_l, h=h, n_tokens=n_tok)
-                nb = self._total_blocks
-                reps = np.asarray(kv_l.block_rep, np.float32)[0, :nb]
-                reps_flat = np.repeat(reps, G, axis=1).reshape(nb, -1)
-                qf = np.asarray(q_mean, np.float32)[0].reshape(-1)
-                idx = select_blocks(scorer, np.asarray(logits)[0, :nb],
-                                    reps_flat, qf, rc.topk, rc.chunk_size)
-                arr = np.full((1, rc.topk), -1, np.int32)
-                arr[0, :len(idx)] = np.asarray(idx, np.int32)
-                abs_idx = jnp.asarray(arr)
-                exists = jnp.asarray(arr >= 0)
-            else:
-                q, k, v, abs_idx, exists = self._qa_score_l(
-                    lp, kv_l=kv_l, h=h, n_tokens=n_tok)
-                if ext_idx is not None:
-                    abs_idx, exists = ext_sorted, ext_exists
-            abs_np = np.asarray(abs_idx)[0]
-            exists_np = np.asarray(exists)[0]
-            picked.append([int(i) for i, e in zip(abs_np, exists_np) if e])
+            # ablation scorers: device computes the rep logits, the
+            # selection strategy runs host-side (reference
+            # aks/dpc_knn/l2norm _calc_block_topk variants)
+            q, k, v, logits, _, q_mean = self._qa_logits_l(
+                lp, kv_l=kv_l, h=h, n_tokens=n_tok)
+            nb = self._total_blocks
+            logits_np = np.asarray(logits, np.float32)
+            reps_all = np.asarray(kv_l.block_rep, np.float32)
+            q_mean_np = np.asarray(q_mean, np.float32)
+            arr = np.full((B, rc.topk), -1, np.int32)
+            for b in range(B):
+                reps_flat = np.repeat(reps_all[b, :nb], G,
+                                      axis=1).reshape(nb, -1)
+                idx = select_blocks(scorer, logits_np[b, :nb], reps_flat,
+                                    q_mean_np[b].reshape(-1), rc.topk,
+                                    rc.chunk_size)
+                arr[b, :len(idx)] = np.asarray(idx, np.int32)
+            abs_idx = jnp.asarray(arr)
+            exists = jnp.asarray(arr >= 0)
+            abs_np, exists_np = arr, arr >= 0
+            picked.append(
+                [[int(i) for i, e in zip(abs_np[b], exists_np[b]) if e]
+                 for b in range(B)] if B > 1 else
+                [int(i) for i, e in zip(abs_np[0], exists_np[0]) if e])
             use_host = exists_np & (abs_np < self._evicted_pages)
-            host_k = np.zeros((1, rc.topk, Hkv, S, D),
+            host_k = np.zeros((B, rc.topk, Hkv, S, D),
                               dtype=np.asarray(self.kvs.block_k).dtype)
             host_v = np.zeros_like(host_k)
-            if use_host.any():
-                hk, hv = self.host_store.fetch(l, 0, abs_np[use_host])
-                host_k[0, use_host] = hk
-                host_v[0, use_host] = hv
+            for b in range(B):
+                if use_host[b].any():
+                    hk, hv = self.host_store.fetch(l, b,
+                                                   abs_np[b][use_host[b]])
+                    host_k[b, use_host[b]] = hk
+                    host_v[b, use_host[b]] = hv
             h, k_l, v_l, c_l = self._qa_attend_l(
                 lp, kv_l=kv_l, h=h, q=q, k=k, v=v, abs_idx=abs_idx,
-                exists=exists, use_host=jnp.asarray(use_host[None]),
+                exists=exists, use_host=jnp.asarray(use_host),
                 host_k=jnp.asarray(host_k), host_v=jnp.asarray(host_v),
                 n_tokens=n_tok)
             dk.append(k_l)
