@@ -49,12 +49,20 @@ class ReKVConfig:
     # 'filter_tokens_inverse_cosine' | 'filter_tokens_percentile' |
     # 'filter_tokens_top_half'
     retrieved_kv_compression: str = "none"
+    # decode/QA-path attention backend: 'jnp' (XLA; default — each
+    # pallas_call costs ~1.1 ms fixed on this relayed platform,
+    # PLATFORM_NOTES.md) | 'pallas' (fused flash kernel,
+    # ops/decode_attention.py; re-tune on real hardware) |
+    # 'pallas_interpret' (tests)
+    decode_attn_backend: str = "jnp"
 
     def __post_init__(self):
         assert self.exc_block_size <= self.n_local
         assert self.topk % self.chunk_size == 0
         assert self.retrieval_scorer in ("mean_dot", "aks", "dpc_knn",
                                          "l2norm"), self.retrieval_scorer
+        assert self.decode_attn_backend in ("jnp", "pallas",
+                                            "pallas_interpret")
 
     @property
     def rep_cap(self) -> int:

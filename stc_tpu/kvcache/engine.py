@@ -685,6 +685,14 @@ def decode_attend(q: jax.Array, q_slots: jax.Array, dkv: DecodeKV,
     B, Hq, T, D = q.shape
     C = dkv.k.shape[2]
     q_rot = apply_rope(q, q_slots[:, None, :], rope_base)
+    if cfg.decode_attn_backend.startswith("pallas"):
+        # fused flash kernel; query slots are affine (start + t) at every
+        # call site (prompt prefill, retrieval forward, token decode)
+        from stc_tpu.ops.decode_attention import decode_attention
+        return decode_attention(
+            q_rot, dkv.k, dkv.v, q_slots[:, 0], dkv.cursor,
+            n_local=cfg.n_local,
+            interpret=(cfg.decode_attn_backend == "pallas_interpret"))
     slot_pos = jnp.arange(C, dtype=jnp.int32)[None, :]               # (1, C)
     dist = q_slots[:, :, None] - slot_pos[:, None, :]                # (B, T, C)
     mask = (dist >= 0) & (dist < cfg.n_local)
