@@ -24,8 +24,10 @@ Other modes via BENCH_MODE (each still prints one JSON line):
   7b          — ingest fps at LLaVA-OV-7B shapes (single chip)
 scripts/bench_all.py runs every mode and writes bench_report.json.
 
-Timing is the MEDIAN of 3 passes (run-to-run variance on this platform is
-~20%; round 1's best-of-2 flattered the number).
+Timing is the MEDIAN of 5 passes (run-to-run variance on this platform is
+~20%; round 1's best-of-2 flattered the number).  NOTE: this box has ONE
+host CPU — concurrent host work starves the feed loop and corrupts the
+measurement (observed 65 -> 28 fps under a parallel pytest run).
 """
 
 import json
@@ -55,12 +57,13 @@ def build(batch=1, seven_b=False):
                              intermediate_size=4304, image_size=384,
                              patch_size=14)
     if seven_b:
-        # HALF-DEPTH 7B shapes: the full model does not fit one 16 GB chip
-        # in bf16 (≈16 GB weights + 7 GB KV store — the north-star config is
-        # v5e-8 for exactly this reason).  14 of 28 layers fit and give the
-        # per-layer cost directly; full-depth LM cost ≈ 2x the LM share.
+        # FULL-DEPTH 7B with int8 weights (bf16 activations/KV): bf16
+        # weights alone are ~15 GB and do not fit one 16 GB chip, but the
+        # int8 path (quantize_params_int8) does — ~7.3 GB weights + ~3.5 GB
+        # KV store.  Throughput does not depend on weight values, so the
+        # quantized tree is generated directly on device (no host transfer).
         text = qw.Qwen2Config(vocab_size=152064, hidden_size=3584,
-                              num_layers=14, num_heads=28, num_kv_heads=4,
+                              num_layers=28, num_heads=28, num_kv_heads=4,
                               head_dim=128, intermediate_size=18944,
                               rope_base=1000000.0)
     else:
@@ -69,20 +72,87 @@ def build(batch=1, seven_b=False):
                               head_dim=64, intermediate_size=4864,
                               rope_base=1000000.0)
     cfg = lo.LlavaOVConfig(vision=vision, text=text)
+    # 7B: trim the page store (KV bytes scale with Hkv*D and layer count;
+    # 768 pages cover warmup + the timed passes without host eviction)
     scfg = SessionConfig(
         rekv=ReKVConfig(n_init=14, n_local=15000, block_size=60,
                         exc_block_size=60 * CHUNK, topk=64, chunk_size=1,
-                        max_blocks=1024, max_prompt_tokens=256,
+                        max_blocks=768 if seven_b else 1024,
+                        max_prompt_tokens=256,
                         max_new_tokens=128),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.25,
                             cache_interval=2),
         pruner=PrunerConfig(token_per_frame=60),
         encode_chunk_frames=CHUNK,
     )
-    params = lo.init_random_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    if seven_b:
+        scfg = SessionConfig(rekv=scfg.rekv, cacher=scfg.cacher,
+                             pruner=scfg.pruner,
+                             encode_chunk_frames=scfg.encode_chunk_frames,
+                             weights_quant="int8")
+        params = init_random_params_int8(cfg, jax.random.key(0))
+    else:
+        params = lo.init_random_params(cfg, jax.random.key(0),
+                                       dtype=jnp.bfloat16)
     sess = lo.build_session(params, cfg, scfg, state_dtype=jnp.bfloat16,
                             vision_dtype=jnp.bfloat16, batch=batch)
     return sess, cfg
+
+
+def init_random_params_int8(cfg, key):
+    """Random FUSED+QUANTIZED llava-ov params built directly on device:
+    int8 weights with constant per-channel scales (values are irrelevant for
+    throughput; generating bf16 first would spike past HBM and a host-side
+    build would cross the ~50 MB/s relay)."""
+    t = cfg.text
+    E, L, F = t.hidden_size, t.num_layers, t.intermediate_size
+    Hq, Hkv, D = t.num_heads, t.num_kv_heads, t.head_dim
+    V = t.vocab_size
+    s = jnp.float32(0.02 / 127.0)
+    ks = iter(jax.random.split(key, 16))
+
+    def w8(shape):
+        # generate ONE layer's bits and broadcast over the layer axis —
+        # per-element generation materializes 4-byte intermediates (the
+        # 3.8 GB gate/up tensor would transiently need 15 GB); repeated
+        # layer values are irrelevant for throughput
+        if len(shape) == 3:
+            part = w8(shape[1:])
+            return jnp.broadcast_to(part[None], shape) + jnp.int8(0)
+        u8 = jax.random.bits(next(ks), shape, dtype=jnp.uint8)
+        return u8.astype(jnp.int8)
+
+    def sc(shape):
+        return jnp.full(shape, s, jnp.float32)
+
+    import stc_tpu.models.siglip as sg
+    text = {
+        "embed_q": w8((V, E)), "embed_s": sc((V,)),
+        "lm_head_q": w8((E, V)), "lm_head_s": sc((V,)),
+        "norm_f": jnp.ones((E,), jnp.bfloat16),
+        "layers": {
+            "ln1": jnp.ones((L, E), jnp.bfloat16),
+            "ln2": jnp.ones((L, E), jnp.bfloat16),
+            "wqkv_q": w8((L, E, (Hq + 2 * Hkv) * D)),
+            "wqkv_s": sc((L, (Hq + 2 * Hkv) * D)),
+            "bqkv": jnp.zeros((L, (Hq + 2 * Hkv) * D), jnp.bfloat16),
+            "wo_q": w8((L, Hq * D, E)), "wo_s": sc((L, E)),
+            "w_gateup_q": w8((L, E, 2 * F)), "w_gateup_s": sc((L, 2 * F)),
+            "w_down_q": w8((L, F, E)), "w_down_s": sc((L, E)),
+        },
+    }
+    k1, k2 = jax.random.split(next(ks))
+    Cv = cfg.vision.hidden_size
+    return {
+        "vision": sg.init_params(cfg.vision, k1, jnp.bfloat16),
+        "projector": {
+            "w1": (jax.random.normal(k2, (Cv, E)) * 0.02).astype(jnp.bfloat16),
+            "b1": jnp.zeros((E,), jnp.bfloat16),
+            "w2": (jax.random.normal(k2, (E, E)) * 0.02).astype(jnp.bfloat16),
+            "b2": jnp.zeros((E,), jnp.bfloat16),
+        },
+        "text": text,
+    }
 
 
 def hard_sync(sess):
@@ -103,7 +173,7 @@ def fast_forward(sess, n_blocks):
     sess._total_blocks = n_blocks
 
 
-def timed_passes(fn, sync, n_passes=3):
+def timed_passes(fn, sync, n_passes=5):
     times = []
     for _ in range(n_passes):
         t0 = time.perf_counter()
@@ -233,13 +303,15 @@ def main():
     elif mode == "7b":
         fps = bench_ingest(seven_b=True)
         print(json.dumps({
-            "metric": "streaming ingest frames/sec/chip (llava-ov-7B "
-                      "shapes at HALF depth - 14 of 28 layers; full 7B+KV "
-                      f"needs >1 chip in bf16 - STC, {CHUNK}-frame chunks, "
-                      "steady state; north star is 120 fps on v5e-8)",
+            "metric": "streaming ingest frames/sec/chip (llava-ov-7B FULL "
+                      "28-layer depth, int8 weights + bf16 activations/KV — "
+                      "bf16 weights need >1 chip — STC cacher+pruner, "
+                      f"{CHUNK}-frame chunks, steady state; north star is "
+                      "120 fps on v5e-8 = 15 fps/chip, dp streams are "
+                      "independent so fps/chip scales linearly)",
             "value": round(fps, 2),
             "unit": "frames/sec",
-            "vs_baseline": round(fps / 60.0, 3),
+            "vs_baseline": round(fps / 15.0, 3),
         }))
     elif mode == "qa":
         ms = bench_qa()

@@ -157,6 +157,10 @@ class SessionConfig:
     cacher: CacherConfig = dataclasses.field(default_factory=CacherConfig)
     pruner: PrunerConfig = dataclasses.field(default_factory=PrunerConfig)
     encode_chunk_frames: int = 1  # frames per encode chunk
+    # LM weight storage: 'none' (input dtype) | 'int8' (per-output-channel
+    # weight-only quantization, models/qwen2.py quantize_params_int8 —
+    # halves the weights-read floor and fits full-depth 7B on a 16 GB chip)
+    weights_quant: str = "none"
 
     @classmethod
     def from_env(cls) -> "SessionConfig":
@@ -189,6 +193,8 @@ class SessionConfig:
             retrieval_scorer=os.getenv("STC_RETRIEVAL_SCORER", "mean_dot"),
             retrieved_kv_compression=os.getenv(
                 "STC_RETRIEVED_KV_COMPRESSION", "none"),
+            decode_attn_backend=os.getenv("STC_DECODE_ATTN_BACKEND", "jnp"),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,
-                   encode_chunk_frames=chunk_frames)
+                   encode_chunk_frames=chunk_frames,
+                   weights_quant=os.getenv("STC_WEIGHTS_QUANT", "none"))

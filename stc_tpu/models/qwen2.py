@@ -119,11 +119,24 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
+def _mm(h, lp, name):
+    """h @ lp[name], serving int8 weight-only quantization transparently:
+    quantize_params_int8 stores `<name>_q` (int8) + `<name>_s` (per-output
+    -channel f32 scales); the int8->bf16 convert fuses into the matmul's
+    operand read on TPU, so HBM traffic is the int8 bytes, and the scale is
+    one row-vector multiply on the output."""
+    if name + "_q" in lp:
+        w = lp[name + "_q"]
+        out = h @ w.astype(h.dtype)
+        return out * lp[name + "_s"].astype(h.dtype)
+    return h @ lp[name]
+
+
 def _qkv(lp, h, cfg: Qwen2Config):
     B, T, E = h.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if "wqkv" in lp:  # fused projection (fuse_params) — one matmul
-        qkv = h @ lp["wqkv"] + lp["bqkv"]
+    if "wqkv" in lp or "wqkv_q" in lp:  # fused projection — one matmul
+        qkv = _mm(h, lp, "wqkv") + lp["bqkv"]
         q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
     else:
         q = h @ lp["wq"] + lp["bq"]
@@ -137,15 +150,60 @@ def _qkv(lp, h, cfg: Qwen2Config):
 
 def _proj_out(lp, o, cfg: Qwen2Config):
     B, Hq, T, D = o.shape
-    return o.transpose(0, 2, 1, 3).reshape(B, T, Hq * D) @ lp["wo"]
+    return _mm(o.transpose(0, 2, 1, 3).reshape(B, T, Hq * D), lp, "wo")
 
 
 def _mlp(lp, h, cfg: Qwen2Config):
-    if "w_gateup" in lp:  # fused projection (fuse_params) — one matmul
-        gu = h @ lp["w_gateup"]
+    if "w_gateup" in lp or "w_gateup_q" in lp:  # fused — one matmul
+        gu = _mm(h, lp, "w_gateup")
         g, u = jnp.split(gu, 2, axis=-1)
-        return (jax.nn.silu(g) * u) @ lp["w_down"]
+        return _mm(jax.nn.silu(g) * u, lp, "w_down")
     return (jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])) @ lp["w_down"]
+
+
+def param_dtype(params):
+    """Activation/compute dtype of a (possibly quantized) param tree."""
+    return params["norm_f"].dtype
+
+
+def quantize_params_int8(params):
+    """Weight-only int8 quantization: per-output-channel symmetric scales.
+
+    Halves the LM's HBM footprint and weights-read floor vs bf16 (full-depth
+    7B fits a 16 GB chip); the int8->bf16 convert fuses into the matmul
+    operand read, so the MXU still runs bf16 x bf16 with fp32 accumulation
+    (exact per-channel rescale applied to the output row vector).  The
+    reference has no quantized path — this is a TPU-serving addition.
+    Expects fused params (fuse_params); norms, biases, and the small
+    projector stay in the input dtype.  Idempotent.
+
+    NOTE: parallel/ PartitionSpecs cover the unquantized names; quantized
+    multi-chip sharding is future work (single-chip serving feature).
+    """
+    def q(w):
+        # w: (..., in, out) -> int8 (..., in, out) + f32 scales (..., out)
+        a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+        s = jnp.maximum(a, 1e-8) / 127.0
+        wq = jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8)
+        return wq, s.squeeze(-2)
+
+    lp = dict(params["layers"])
+    assert "wqkv" in lp or "wqkv_q" in lp, "quantize after fuse_params"
+    if "wqkv_q" in lp:
+        return params
+    for name in ("wqkv", "wo", "w_gateup", "w_down"):
+        lp[name + "_q"], lp[name + "_s"] = q(lp[name])
+        del lp[name]
+    new = {**params, "layers": lp}
+    # embedding rows: per-row scales, dequant after the gather
+    e = params["embed"].astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(e), axis=-1, keepdims=True), 1e-8)
+    new["embed_q"] = jnp.round(e / (a / 127.0)).astype(jnp.int8)
+    new["embed_s"] = (a[:, 0] / 127.0)
+    del new["embed"]
+    new["lm_head_q"], new["lm_head_s"] = q(params["lm_head"])
+    del new["lm_head"]
+    return new
 
 
 def fuse_params(params):
@@ -153,8 +211,8 @@ def fuse_params(params):
     layer — this platform taxes each fused op ~40-90us, PLATFORM_NOTES.md).
     Converters and tests keep the unfused layout; sessions fuse at build."""
     lp = dict(params["layers"])
-    if "wqkv" in lp:
-        return params  # already fused
+    if "wqkv" in lp or "wqkv_q" in lp:
+        return params  # already fused (and possibly quantized)
     lp["wqkv"] = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=-1)
     lp["bqkv"] = jnp.concatenate([lp["bq"], lp["bk"], lp["bv"]], axis=-1)
     lp["w_gateup"] = jnp.concatenate([lp["w_gate"], lp["w_up"]], axis=-1)
@@ -364,12 +422,23 @@ def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 
     h, dkvs = jax.lax.scan(body, embeds, (params["layers"], dkvs))
     h = rms_norm(h, params["norm_f"], cfg.rms_eps)
-    logits = h @ params["lm_head"]
+    logits = _lm_head(params, h)
     return logits, dkvs
 
 
 def embed_tokens(params, ids: jax.Array) -> jax.Array:
+    if "embed_q" in params:
+        dt = param_dtype(params)
+        rows = params["embed_q"][ids].astype(dt)
+        return rows * params["embed_s"][ids][..., None].astype(dt)
     return params["embed"][ids]
+
+
+def _lm_head(params, h: jax.Array) -> jax.Array:
+    if "lm_head_q" in params:
+        out = h @ params["lm_head_q"].astype(h.dtype)
+        return out * params["lm_head_s"].astype(h.dtype)
+    return h @ params["lm_head"]
 
 
 def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,

@@ -54,6 +54,8 @@ class StreamingSession:
         frame_encoder: Optional[Callable] = None,
     ):
         self.params = qw.fuse_params(params)
+        if session_cfg.weights_quant == "int8":
+            self.params = qw.quantize_params_int8(self.params)
         self.mcfg = model_cfg
         self.scfg = session_cfg
         self.rekv = session_cfg.rekv
@@ -188,7 +190,7 @@ class StreamingSession:
 
     def encode_video_features(self, feats):
         """feats: (B, n_frames*block_size, E) pruned visual features."""
-        feats = jnp.asarray(feats, self.params["embed"].dtype)
+        feats = jnp.asarray(feats, qw.param_dtype(self.params))
         B, T, E = feats.shape
         S = self.rekv.block_size
         exc = self.rekv.exc_block_size

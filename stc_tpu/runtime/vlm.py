@@ -76,7 +76,10 @@ class VLMSession(StreamingSession):
     def __init__(self, params: Dict[str, Any], text_cfg, scfg: SessionConfig,
                  vision: VisionPipeline, state_dtype=jnp.bfloat16,
                  batch: int = 1):
-        params = {**params, "text": qw.fuse_params(params["text"])}
+        text = qw.fuse_params(params["text"])
+        if scfg.weights_quant == "int8":
+            text = qw.quantize_params_int8(text)
+        params = {**params, "text": text}
         self._all_params = params
         self.vision = vision
         super().__init__(params["text"], text_cfg, scfg, batch=batch,
