@@ -138,3 +138,35 @@ def dbdpc_reduce(x: jax.Array, n_keep: int, k: int = 5
     csum = jnp.zeros_like(centers).at[assign].add(xf)
     cnt = jnp.zeros((n_keep,), jnp.float32).at[assign].add(1.0)
     return (csum / jnp.maximum(cnt, 1.0)[:, None]).astype(x.dtype), idx
+
+
+def select_top_half_kv(local_k: jax.Array, local_v: jax.Array,
+                       attn_outputs: jax.Array, token_per_frame: int
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Local-window KV compression experiment (reference USE_KV_COMPRESSION
+    hook inside ContextManager.append, kv_cache_manager.py:2315-2321, math
+    at select_top_half_kv :2190-2247): for each newly-appended frame, keep
+    the ceil(half) of its tokens whose ATTENTION OUTPUTS have the largest
+    head/dim mean, and splice them over the window tail.
+
+    local_k/local_v: (B, Hkv, T, D) window tail holding F = T//token_per_frame
+    whole frames; attn_outputs: (B, Hq, T, D) this append's attention outputs.
+    Returns (k_kept, v_kept, kept_idx) with T' = F * ceil(token_per_frame/2);
+    kept_idx (B, T') are indices into the input tail (frame-major, the
+    reference's torch.topk order — NOT re-sorted within a frame).
+    """
+    B, Hkv, T, D = local_k.shape
+    S = token_per_frame
+    F = T // S
+    keep = -(-S // 2)
+    # token saliency: mean over heads and dims of the attention output
+    # (reference token_score = attn.mean(dim=(1, 3)))
+    score = attn_outputs.astype(jnp.float32).mean(axis=(1, 3))    # (B, T)
+    score_f = score.reshape(B, F, S)
+    _, top = jax.lax.top_k(score_f, keep)                         # (B, F, keep)
+    kept_idx = (top + (jnp.arange(F, dtype=jnp.int32) * S)[None, :, None]
+                ).reshape(B, F * keep)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    k_kept = local_k[bidx, :, kept_idx].transpose(0, 2, 1, 3)
+    v_kept = local_v[bidx, :, kept_idx].transpose(0, 2, 1, 3)
+    return k_kept, v_kept, kept_idx

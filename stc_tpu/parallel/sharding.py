@@ -13,22 +13,56 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from stc_tpu.kvcache.state import DecodeKV, StreamKV
 
 
-def qwen2_param_specs():
-    lp = {
-        "ln1": P(), "ln2": P(),
-        "wq": P(None, None, "tp"), "bq": P(None, "tp"),
-        "wk": P(None, None, "tp"), "bk": P(None, "tp"),
-        "wv": P(None, None, "tp"), "bv": P(None, "tp"),
-        "wo": P(None, "tp", None),
-        "w_gate": P(None, None, "tp"),
-        "w_up": P(None, None, "tp"),
-        "w_down": P(None, "tp", None),
-    }
+_LAYER_SPECS = {
+    "ln1": P(), "ln2": P(),
+    "wq": P(None, None, "tp"), "bq": P(None, "tp"),
+    "wk": P(None, None, "tp"), "bk": P(None, "tp"),
+    "wv": P(None, None, "tp"), "bv": P(None, "tp"),
+    "wo": P(None, "tp", None),
+    "w_gate": P(None, None, "tp"),
+    "w_up": P(None, None, "tp"),
+    "w_down": P(None, "tp", None),
+    # fused layouts (fuse_params): the concatenated qkv / gate-up output
+    # axis shards evenly over tp; GSPMD reshards around the in-layer split.
+    "wqkv": P(None, None, "tp"), "bqkv": P(None, "tp"),
+    "w_gateup": P(None, None, "tp"),
+    # int8 quantized layouts (quantize_params_int8): weights shard like
+    # their bf16 counterparts, per-output-channel scales follow the
+    # output axis.
+    "wqkv_q": P(None, None, "tp"), "wqkv_s": P(None, "tp"),
+    "wo_q": P(None, "tp", None), "wo_s": P(),
+    "w_gateup_q": P(None, None, "tp"), "w_gateup_s": P(None, "tp"),
+    "w_down_q": P(None, "tp", None), "w_down_s": P(),
+}
+
+_TOP_SPECS = {
+    "embed": P(), "embed_q": P(), "embed_s": P(),
+    "norm_f": P(),
+    "lm_head": P(None, "tp"), "lm_head_q": P(None, "tp"),
+    "lm_head_s": P("tp"),
+}
+
+
+def qwen2_param_specs(params=None):
+    """PartitionSpecs for a qwen2 param tree.
+
+    With no argument: the legacy unfused layout.  Given an actual param tree
+    (unfused, fused, or fused+int8-quantized), specs are keyed to the names
+    present, so sharding composes with fuse_params / quantize_params_int8.
+    """
+    if params is None:
+        names = ("ln1", "ln2", "wq", "bq", "wk", "bk", "wv", "bv", "wo",
+                 "w_gate", "w_up", "w_down")
+        return {
+            "embed": P(),
+            "layers": {n: _LAYER_SPECS[n] for n in names},
+            "norm_f": P(),
+            "lm_head": P(None, "tp"),
+        }
     return {
-        "embed": P(),
-        "layers": lp,
-        "norm_f": P(),
-        "lm_head": P(None, "tp"),
+        k: ({n: _LAYER_SPECS[n] for n in params["layers"]} if k == "layers"
+            else _TOP_SPECS[k])
+        for k in params
     }
 
 

@@ -72,3 +72,36 @@ def test_kmeans_select_two_clusters():
     assert sorted(np.round(cent[:, 0])) == [-4.0, 4.0]
     assign = np.asarray(assign)
     assert len(set(assign[:12])) == 1 and len(set(assign[12:])) == 1
+
+
+def test_select_top_half_kv_matches_torch_reference_math():
+    """Oracle for the USE_KV_COMPRESSION append hook
+    (kv_cache_manager.py:2190-2247): per frame, keep ceil(S/2) tokens by the
+    head/dim mean of the attention outputs, frame-major order."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stc_tpu.compress.experiments import select_top_half_kv
+    rng = np.random.default_rng(0)
+    B, Hkv, Hq, S, F, D = 2, 2, 4, 7, 3, 8
+    T = F * S
+    k = rng.normal(size=(B, Hkv, T, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, T, D)).astype(np.float32)
+    o = rng.normal(size=(B, Hq, T, D)).astype(np.float32)
+
+    k_kept, v_kept, idx = select_top_half_kv(
+        jnp.asarray(k), jnp.asarray(v), jnp.asarray(o), S)
+    keep = -(-S // 2)
+    assert k_kept.shape == (B, Hkv, F * keep, D)
+
+    # numpy replica of the torch code path
+    for b in range(B):
+        outs_k = []
+        for f in range(F):
+            seg = slice(f * S, (f + 1) * S)
+            score = o[b, :, seg].mean(axis=(0, 2))          # (S,)
+            top = np.argsort(-score, kind="stable")[:keep]  # torch.topk order
+            outs_k.append(k[b, :, seg][:, top])
+        want_k = np.concatenate(outs_k, axis=1)
+        np.testing.assert_allclose(np.asarray(k_kept)[b], want_k,
+                                   rtol=1e-5, atol=1e-5)
+        assert np.all(np.asarray(idx)[b] // S == np.repeat(np.arange(F), keep))

@@ -69,3 +69,39 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_array_equal(np.asarray(want_cur), np.asarray(got_cur))
     np.testing.assert_allclose(np.asarray(want_logits),
                                np.asarray(got_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_quantized_step_matches_single_device():
+    """int8-quantized params shard over the same dp x tp mesh (specs keyed
+    to the quantized names) and reproduce the single-device computation."""
+    rng = np.random.default_rng(1)
+    params = qw.quantize_params_int8(qw.fuse_params(
+        qw.init_params(MCFG, jax.random.key(1))))
+    kvs = qw.init_stream_state(MCFG, REKV, B, jnp.float32)
+    ids = rng.integers(0, MCFG.vocab_size, size=(B, REKV.n_init))
+    _, kvs = qw.encode_step(params, MCFG, REKV, kvs,
+                            qw.embed_tokens(params, jnp.asarray(ids)),
+                            is_init=True)
+    feats = jnp.asarray(rng.normal(size=(B, REKV.block_size,
+                                         MCFG.hidden_size)), jnp.float32)
+    q_embeds = jnp.asarray(rng.normal(size=(B, 4, MCFG.hidden_size)),
+                           jnp.float32)
+
+    want_len, want_cur, want_logits = jax.jit(
+        lambda p, k, f, q: _run(p, k, f, q, False))(params, kvs, feats,
+                                                    q_embeds)
+
+    mesh = make_mesh(dp=2, tp=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    params_s = shard_pytree(params, qwen2_param_specs(params), mesh)
+    kvs_s = shard_pytree(kvs, stream_kv_specs(), mesh)
+    feats_s = jax.device_put(feats, NamedSharding(mesh, P("dp", None, None)))
+    q_s = jax.device_put(q_embeds, NamedSharding(mesh, P("dp", None, None)))
+
+    got_len, got_cur, got_logits = jax.jit(
+        lambda p, k, f, q: _run(p, k, f, q, True))(params_s, kvs_s, feats_s,
+                                                   q_s)
+    np.testing.assert_array_equal(np.asarray(want_len), np.asarray(got_len))
+    np.testing.assert_array_equal(np.asarray(want_cur), np.asarray(got_cur))
+    np.testing.assert_allclose(np.asarray(want_logits),
+                               np.asarray(got_logits), rtol=2e-4, atol=2e-4)
