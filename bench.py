@@ -193,23 +193,30 @@ def bench_ingest(batch=1, seven_b=False):
     if batch == 1:
         frames = rng.integers(0, 256, size=(8, 384, 384, 3), dtype=np.uint8)
 
-        def feed(i):
-            sess.encode_video(frames[i % 4: i % 4 + CHUNK])
+        def chunk(i):
+            return frames[i % 4: i % 4 + CHUNK]
     else:
         frames = rng.integers(0, 256, size=(batch, 8, 384, 384, 3),
                               dtype=np.uint8)
 
-        def feed(i):
-            sess.encode_video(frames[:, i % 4: i % 4 + CHUNK])
+        def chunk(i):
+            return frames[:, i % 4: i % 4 + CHUNK]
 
     # warmup compiles both chunk paths (full + cacher) at the steady bucket
     for i in range(0, 6 * CHUNK, CHUNK):
-        feed(i)
+        sess.encode_video(chunk(i))
     hard_sync(sess)
+
+    # production ingest: RAW uint8 frames ride the jit dispatch (442 KB/frame
+    # vs 884 KB as bf16 pixels) and normalize/transpose run inside the fused
+    # frame jit.  Measured here: jit-arg transfer is far cheaper than explicit
+    # device_put on this relay (71 vs 47 fps), and a prefetch thread is
+    # counterproductive on this 1-core host (10 fps) — so the loop stays
+    # synchronous; use FramePrefetcher+stage_chunk on multi-core hosts.
 
     def one_pass():
         for i in range(0, n_frames, CHUNK):
-            feed(i)
+            sess.encode_video(chunk(i))
 
     dt = timed_passes(one_pass, lambda: hard_sync(sess))
     return batch * n_frames / dt

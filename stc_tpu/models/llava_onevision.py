@@ -180,8 +180,11 @@ class LlavaOVVision:
         frames = np.asarray(frames)
         if frames.ndim == 5:  # (B, F, H, W, 3) multi-stream
             B, F = frames.shape[:2]
-            return self._pre1(frames.reshape((B * F,) + frames.shape[2:]))
-        return self._pre1(frames)
+            frames = frames.reshape((B * F,) + frames.shape[2:])
+        return self._pre1.host(frames)
+
+    def device_preprocess(self, pixels):
+        return self._pre1.device(pixels)
 
     def init_state(self):
         return (sg.init_cacher_state(self.cfg.vision, self.batch, self.dtype),

@@ -81,8 +81,14 @@ class LongVAVision(VisionPipeline):
         self.cfg = cfg
         self.scfg = scfg
         self.dtype = dtype
-        self.preprocess = make_preprocessor(cfg.vision.image_size,
-                                            CLIP_MEAN, CLIP_STD, dtype)
+        self._pre = make_preprocessor(cfg.vision.image_size,
+                                      CLIP_MEAN, CLIP_STD, dtype)
+
+    def preprocess(self, frames):
+        return self._pre.host(np.asarray(frames))
+
+    def device_preprocess(self, pixels):
+        return self._pre.device(pixels)
 
     def init_state(self):
         return cl.init_clip_cacher(self.cfg.vision, self.dtype), ()

@@ -22,35 +22,66 @@ from stc_tpu.models import qwen2 as qw
 from stc_tpu.runtime.session import StreamingSession
 
 
-def make_preprocessor(image_size: int, mean, std, dtype):
-    """Frame preprocessor: native C++ (resize+normalize+CHW, multithreaded)
-    when the toolchain is available, jitted JAX ops otherwise."""
-    mean = np.asarray(mean, np.float32)
-    std = np.asarray(std, np.float32)
+class Preprocessor:
+    """Staged frame preprocessor.
 
-    def _pre_device(frames):
-        x = frames.astype(jnp.float32) / 255.0
-        if frames.shape[1] != image_size or frames.shape[2] != image_size:
+    The hot path transfers RAW uint8 frames and finishes preprocessing ON
+    DEVICE inside the caller's fused jit (`device`): the host->device link
+    is the streaming bottleneck on PCIe-relayed hosts, and uint8 halves the
+    bytes vs bf16 pixels (4x vs f32) while the normalize/transpose ride the
+    same dispatch as the vision tower.  `host` is the staging half (a cheap
+    passthrough for uint8; full host preprocess for already-float inputs).
+    Calling the object runs both halves host-side (legacy path, used by
+    standalone encoders and tests)."""
+
+    def __init__(self, image_size: int, mean, std, dtype):
+        self.image_size = image_size
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.dtype = dtype
+        self._jit = jax.jit(self.device)
+
+    def host(self, frames) -> np.ndarray:
+        """Stage frames for transfer: uint8 passes through untouched."""
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            return np.ascontiguousarray(frames)
+        return frames  # float input: device() normalizes it the same way
+
+    def device(self, x):
+        """Finish preprocessing inside a jit: (N,H,W,3) uint8/float ->
+        (N,3,S,S) normalized `dtype`.  Already-preprocessed (N,3,S,S)
+        inputs pass through with a cast."""
+        if x.ndim == 4 and x.shape[1] == 3 and x.shape[-1] != 3:
+            return x.astype(self.dtype)  # legacy NCHW pixels
+        x = x.astype(jnp.float32) / 255.0  # uint8 and 0-255 float alike
+        return self._normalize(x)
+
+    def _normalize(self, x):
+        if x.shape[1] != self.image_size or x.shape[2] != self.image_size:
             # plain half-pixel bilinear (no antialias), matching the native
             # C++ preprocessor and torch interpolate align_corners=False
             x = jax.image.resize(
-                x, (x.shape[0], image_size, image_size, 3), "bilinear",
-                antialias=False)
-        x = (x - mean) / std
-        return x.transpose(0, 3, 1, 2).astype(dtype)
+                x, (x.shape[0], self.image_size, self.image_size, 3),
+                "bilinear", antialias=False)
+        x = (x - self.mean) / self.std
+        return x.transpose(0, 3, 1, 2).astype(self.dtype)
 
-    pre_jit = jax.jit(_pre_device)
-
-    def preprocess(frames):
-        frames = np.asarray(frames)
+    def __call__(self, frames):
+        frames = self.host(frames)
         if frames.dtype == np.uint8:
             from stc_tpu import native
-            out = native.preprocess_frames(frames, image_size, mean, std)
+            out = native.preprocess_frames(frames, self.image_size,
+                                           self.mean, self.std)
             if out is not None:
-                return jnp.asarray(out, dtype)
-        return pre_jit(jnp.asarray(frames))
+                return jnp.asarray(out, self.dtype)
+        return self._jit(jnp.asarray(frames))
 
-    return preprocess
+
+def make_preprocessor(image_size: int, mean, std, dtype):
+    """Frame preprocessor: call it for the legacy full-host path, or use
+    .host (staging) + .device (inside a jit) for the low-transfer path."""
+    return Preprocessor(image_size, mean, std, dtype)
 
 
 class VisionPipeline:
@@ -61,7 +92,13 @@ class VisionPipeline:
         raise NotImplementedError
 
     def preprocess(self, frames: np.ndarray) -> jax.Array:
+        """Host half: stage frames for transfer (uint8 passthrough)."""
         raise NotImplementedError
+
+    def device_preprocess(self, pixels):
+        """Device half, traced inside the fused frame jit.  Default: the
+        staged array is already model input."""
+        return pixels
 
     def full(self, params, pixels, vstate, pstate):
         """-> (flat_features, vstate, pstate)"""
@@ -89,6 +126,7 @@ class VLMSession(StreamingSession):
         self._W = n_window_pages(rekv)
 
         def _frame(params, pixels, kvs, vstate, pstate, *, cached, bucket):
+            pixels = vision.device_preprocess(pixels)
             path = vision.cached if cached else vision.full
             flat, vstate, pstate = path(params, pixels, vstate, pstate)
             S = rekv.block_size
@@ -141,7 +179,13 @@ class VLMSession(StreamingSession):
 
     def encode_video(self, frames):
         """frames: (n, H, W, 3) single stream or (B, n, H, W, 3) multi-stream
-        (B must equal the session batch)."""
+        (B must equal the session batch).  A jax.Array input is treated as
+        ALREADY STAGED pixels for exactly one chunk (the FramePrefetcher /
+        double-buffered ingest path: the host thread device_puts staged uint8
+        frames ahead of time so the transfer overlaps device compute)."""
+        if isinstance(frames, jax.Array):
+            self._encode_staged_chunk(frames)
+            return
         frames = np.asarray(frames)
         if frames.ndim == 5:
             assert frames.shape[0] == self.batch, (frames.shape, self.batch)
@@ -152,18 +196,29 @@ class VLMSession(StreamingSession):
         for s in range(0, frames.shape[frame_axis], n):
             chunk = (frames[:, s:s + n] if frames.ndim == 5
                      else frames[s:s + n])
-            pixels = self.vision.preprocess(chunk)
-            use_cached = (self.scfg.cacher.enabled
-                          and self.chunk_idx % self.scfg.cacher.cache_interval
-                          != 0)
-            n_frames = chunk.shape[frame_axis]
-            self._maybe_evict(n_frames)
-            resident_after = (self._total_blocks + n_frames
-                              - self._evicted_pages)
-            bucket = self._bucket(resident_after)
-            fn = self._get_frame_jit(use_cached, bucket)
-            self.kvs, self._vstate, self._pstate = fn(
-                self._all_params, pixels, kvs=self.kvs,
-                vstate=self._vstate, pstate=self._pstate)
-            self._track_blocks(n_frames)
-            self.chunk_idx += 1
+            self._encode_chunk_pixels(self.vision.preprocess(chunk),
+                                      chunk.shape[frame_axis])
+
+    def _encode_staged_chunk(self, pixels: jax.Array):
+        assert pixels.shape[0] % self.batch == 0, (pixels.shape, self.batch)
+        self._encode_chunk_pixels(pixels, pixels.shape[0] // self.batch)
+
+    def _encode_chunk_pixels(self, pixels, n_frames: int):
+        use_cached = (self.scfg.cacher.enabled
+                      and self.chunk_idx % self.scfg.cacher.cache_interval
+                      != 0)
+        self._maybe_evict(n_frames)
+        resident_after = (self._total_blocks + n_frames
+                          - self._evicted_pages)
+        bucket = self._bucket(resident_after)
+        fn = self._get_frame_jit(use_cached, bucket)
+        self.kvs, self._vstate, self._pstate = fn(
+            self._all_params, pixels, kvs=self.kvs,
+            vstate=self._vstate, pstate=self._pstate)
+        self._track_blocks(n_frames)
+        self.chunk_idx += 1
+
+    def stage_chunk(self, frames) -> jax.Array:
+        """Host-stage + start the device transfer for one chunk of frames
+        (call from a prefetch thread; pair with encode_video(staged))."""
+        return jax.device_put(self.vision.preprocess(frames))

@@ -124,3 +124,39 @@ def test_multi_stream_vision_session():
     out = multi.question_answering([5, 6], [5, 6, 7], stop_token_ids=[0],
                                    max_new_tokens=4)
     assert 1 <= len(out) <= 4
+
+
+def test_staged_uint8_ingest_matches_host_preprocess_path():
+    """The low-transfer ingest path (stage_chunk: raw uint8 to device in a
+    prefetch thread, normalize/transpose inside the fused frame jit) must
+    produce exactly the same stream state as the legacy numpy path, chunk by
+    chunk, including resize (non-native frames sizes) and multi-stream."""
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+
+    a, _ = make(seed=3)
+    b, _ = make(seed=3)
+    a.encode_init_prompt([1, 2, 3, 4])
+    b.encode_init_prompt([1, 2, 3, 4])
+    for f in range(4):
+        a.encode_video(frames[f:f + 1])                  # legacy numpy path
+        b.encode_video(b.stage_chunk(frames[f:f + 1]))   # staged device path
+    np.testing.assert_array_equal(np.asarray(a.kvs.num_blocks),
+                                  np.asarray(b.kvs.num_blocks))
+    np.testing.assert_allclose(np.asarray(a.kvs.block_k),
+                               np.asarray(b.kvs.block_k), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.kvs.block_v),
+                               np.asarray(b.kvs.block_v), rtol=1e-5,
+                               atol=1e-5)
+
+    # prefetcher end-to-end (background staging thread)
+    from stc_tpu.runtime.pipeline import FramePrefetcher
+    c, _ = make(seed=3)
+    c.encode_init_prompt([1, 2, 3, 4])
+    for px in FramePrefetcher((frames[f:f + 1] for f in range(4)),
+                              c.stage_chunk, depth=2):
+        c.encode_video(px)
+    np.testing.assert_allclose(np.asarray(a.kvs.block_k),
+                               np.asarray(c.kvs.block_k), rtol=1e-5,
+                               atol=1e-5)
