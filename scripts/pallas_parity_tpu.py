@@ -107,6 +107,13 @@ def main():
         run_case("exc_4page_append", cfg, 5, exc_pages=4),
         run_case("page_offset_8", cfg, 30, evict=8),
         run_case("page_offset_16_exc4", cfg, 8, exc_pages=4, evict=16),
+        # 8-page exc appends (T=480): G*Tp = 3360 rows > QROWS_MAX, so this
+        # exercises the query-tiled grid (n_qt=2) in COMPILED Mosaic
+        run_case("exc_8page_append_qtiled",
+                 ReKVConfig(n_init=14, n_local=960, block_size=60,
+                            exc_block_size=480, topk=8, chunk_size=1,
+                            max_blocks=64, max_prompt_tokens=64,
+                            max_new_tokens=16), 4, exc_pages=8),
         run_decode_case("decode_prefill_T64", 64, 4608, 15000, 4000, seed=1),
         run_decode_case("decode_token_T1", 1, 4608, 15000, 4001, seed=2),
         run_decode_case("decode_partial_cache", 24, 640, 512, 300, seed=3),

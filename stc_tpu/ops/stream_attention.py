@@ -36,6 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 LANES = 128
+# max G*TQ query rows per grid step: bounds the fp32 (rows x tile) score
+# block + m/l/acc scratch inside scoped VMEM (tests shrink it to force
+# multi-tile coverage at small shapes)
+QROWS_MAX = 2048
 
 
 def _round_up(x, m):
@@ -56,15 +60,16 @@ def _rot_half(x):
 
 
 def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
-            q_rot_ref, q_one_ref,           # (1, 1, GT, D)
+            q_rot_ref, q_one_ref,           # (1, 1, G, TQ, D) query tile
             k_pages_ref, v_pages_ref,       # (1, 1, ppt, S, D) window tile
             cos_ref, sin_ref,               # (1, TILE, D) f32
             k_init_ref, v_init_ref, k_init_raw_ref,  # (1, 1, NI, D)
-            o_ref,                          # (1, 1, GT, D)
+            o_ref,                          # (1, 1, G, TQ, D)
             m_scr, l_scr, acc_scr,          # VMEM scratch
-            *, Tp, n_local, n_init, ppt, S, n_tiles, scale):
+            *, TQ, n_local, n_init, ppt, S, n_tiles, scale):
     b = pl.program_id(0)
-    t_idx = pl.program_id(2)
+    qt_idx = pl.program_id(2)               # query tile (TQ tokens x G groups)
+    t_idx = pl.program_id(3)
 
     L = scal_ref[b, 0]
     start_page = scal_ref[b, 1] * ppt   # LOCAL store page of the first tile
@@ -72,8 +77,11 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
     init_active = scal_ref[b, 3]
     offset = scal_ref[b, 4]             # host-evicted pages: abs = local + off
 
-    GT = q_rot_ref.shape[2]
+    G = q_rot_ref.shape[2]
+    GT = G * TQ
+    D = q_rot_ref.shape[4]
     tile = ppt * S
+    q_off = L + qt_idx * TQ             # first query position of this tile
 
     @pl.when(t_idx == 0)
     def _init():
@@ -81,8 +89,8 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    row_tok = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 0) % Tp
-    q_pos = L + row_tok
+    row_tok = jax.lax.broadcasted_iota(jnp.int32, (GT, tile), 0) % TQ
+    q_pos = q_off + row_tok
 
     def online_update(s, mask, v):
         s = jnp.where(mask, s * scale, NEG)
@@ -108,9 +116,9 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
     abs_p0 = p0 + offset                # absolute page index (positions)
     pos_min = n_init + abs_p0 * S
     pos_max = n_init + (abs_p0 + ppt) * S - 1
-    tile_live = ((abs_p0 < total)                   # at least one real page
-                 & ((L + Tp - 1) - pos_min >= 0)    # not entirely future
-                 & (L - pos_max < n_local))         # not entirely expired
+    tile_live = ((abs_p0 < total)                     # at least one real page
+                 & ((q_off + TQ - 1) - pos_min >= 0)  # not entirely future
+                 & (q_off - pos_max < n_local))       # not entirely expired
 
     @pl.when(tile_live)
     def _window_tile():
@@ -120,12 +128,11 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
         dist = q_pos - pos
         mask = (dist >= 0) & (dist < n_local) & (page_abs < total)
 
-        D = q_rot_ref.shape[3]
         k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
         cos = cos_ref[0]
         sin = sin_ref[0]
         k_rot = (k * cos + _rot_half(k) * sin).astype(jnp.bfloat16)
-        q = q_rot_ref[0, 0].astype(jnp.bfloat16)
+        q = q_rot_ref[0, 0].reshape(GT, D).astype(jnp.bfloat16)
         s = jax.lax.dot_general(q, k_rot, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         v_tile = v_pages_ref[0, 0].reshape(tile, v_pages_ref.shape[-1])
@@ -136,28 +143,30 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
     def _epilogue():
         NI = k_init_ref.shape[2]
         jcol = jax.lax.broadcasted_iota(jnp.int32, (GT, NI), 1)
-        q_pos_i = L + jax.lax.broadcasted_iota(jnp.int32, (GT, NI), 0) % Tp
+        q_pos_i = (q_off
+                   + jax.lax.broadcasted_iota(jnp.int32, (GT, NI), 0) % TQ)
 
         # init tokens under the local window (true positions 0..n_init-1)
         d_i = q_pos_i - jcol
         mask_i = (d_i >= 0) & (d_i < n_local) & (jcol < n_init)
         k_i = k_init_ref[0, 0].astype(jnp.bfloat16)
-        s_i = jax.lax.dot_general(q_rot_ref[0, 0].astype(jnp.bfloat16), k_i,
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        s_i = jax.lax.dot_general(
+            q_rot_ref[0, 0].reshape(GT, D).astype(jnp.bfloat16), k_i,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         online_update(s_i, mask_i, v_init_ref[0, 0])
 
         # init tokens in the far field (one-angle queries, unrotated keys)
         mask_f = (jcol < n_init) & (init_active > 0)
         k_f = k_init_raw_ref[0, 0].astype(jnp.bfloat16)
-        s_f = jax.lax.dot_general(q_one_ref[0, 0].astype(jnp.bfloat16), k_f,
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        s_f = jax.lax.dot_general(
+            q_one_ref[0, 0].reshape(GT, D).astype(jnp.bfloat16), k_f,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         online_update(s_f, mask_f, v_init_ref[0, 0])
 
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).reshape(G, TQ, D).astype(
+            o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -187,7 +196,6 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     assert T % S == 0, (T, S)  # exc appends carry T/S pages
 
     Tp = _round_up(T, 8)
-    GT = G * Tp
     NI = _round_up(n_init, 8)
     ppt = pages_per_tile(S)
     tile = ppt * S
@@ -197,9 +205,19 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     n_tiles = Lc // tile
     NT = Nb // ppt
 
+    # query tiling: large exc appends (multi-frame chunks) split the G*Tp
+    # query rows across grid steps so the fp32 (rows x tile) score block and
+    # scratch stay inside scoped VMEM
+    n_qt = 1
+    while (G * (Tp // n_qt) > QROWS_MAX or Tp % n_qt != 0
+           or (Tp // n_qt) % 8 != 0):
+        n_qt += 1
+    TQ = Tp // n_qt
+    GTQ = G * TQ
+
     def pad_q(qx):
         qx = jnp.pad(qx, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
-        return qx.reshape(B, Hkv, GT, D)
+        return qx.reshape(B, Hkv, G, Tp, D)
 
     def pad_init(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, NI - n_init), (0, 0)))
@@ -208,12 +226,18 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     k_tiled = block_k.reshape(B, Hkv, NT, tile, D)
     v_tiled = block_v.reshape(B, Hkv, NT, tile, D)
 
-    def page_map(b, h, t, s):
+    def page_map(b, h, qt, t, s):
         return (b, h, jnp.minimum(s[b, 1] + t, NT - 1), 0, 0)
 
-    grid = (B, Hkv, n_tiles)
+    def q_map(b, h, qt, t, s):
+        return (b, h, 0, qt, 0)
+
+    def bh_map(b, h, qt, t, s):
+        return (b, h, 0, 0)
+
+    grid = (B, Hkv, n_qt, n_tiles)
     kern = functools.partial(
-        _kernel, Tp=Tp, n_local=n_local, n_init=n_init, ppt=ppt, S=S,
+        _kernel, TQ=TQ, n_local=n_local, n_init=n_init, ppt=ppt, S=S,
         n_tiles=n_tiles, scale=1.0 / (D ** 0.5))
 
     out = pl.pallas_call(
@@ -222,31 +246,31 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, GT, D), lambda b, h, t, s: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, GT, D), lambda b, h, t, s: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, G, TQ, D), q_map),
+                pl.BlockSpec((1, 1, G, TQ, D), q_map),
                 pl.BlockSpec((1, 1, 1, tile, D), page_map),
                 pl.BlockSpec((1, 1, 1, tile, D), page_map),
-                pl.BlockSpec((1, tile, D), lambda b, h, t, s: (b, t, 0)),
-                pl.BlockSpec((1, tile, D), lambda b, h, t, s: (b, t, 0)),
-                pl.BlockSpec((1, 1, NI, D), lambda b, h, t, s: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, NI, D), lambda b, h, t, s: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, NI, D), lambda b, h, t, s: (b, h, 0, 0)),
+                pl.BlockSpec((1, tile, D), lambda b, h, qt, t, s: (b, t, 0)),
+                pl.BlockSpec((1, tile, D), lambda b, h, qt, t, s: (b, t, 0)),
+                pl.BlockSpec((1, 1, NI, D), bh_map),
+                pl.BlockSpec((1, 1, NI, D), bh_map),
+                pl.BlockSpec((1, 1, NI, D), bh_map),
             ],
-            out_specs=pl.BlockSpec((1, 1, GT, D),
-                                   lambda b, h, t, s: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, G, TQ, D), q_map),
             scratch_shapes=[
-                pltpu.VMEM((GT, LANES), jnp.float32),
-                pltpu.VMEM((GT, LANES), jnp.float32),
-                pltpu.VMEM((GT, D), jnp.float32),
+                pltpu.VMEM((GTQ, LANES), jnp.float32),
+                pltpu.VMEM((GTQ, LANES), jnp.float32),
+                pltpu.VMEM((GTQ, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, GT, D), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tp, D), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
         interpret=interpret,
     )(scalars, pad_q(q_rot), pad_q(q_one), k_tiled, v_tiled,
       cos_cover, sin_cover,
       pad_init(k_init_rot), pad_init(v_init), pad_init(k_init_raw))
 
-    out = out.reshape(B, Hkv, G, Tp, D)[:, :, :, :T]
+    out = out[:, :, :, :T]
     return out.reshape(B, Hq, T, D)

@@ -138,3 +138,32 @@ def test_pallas_masks_track_phase_transitions():
         max_err = max(max_err, err)
         assert err < 3e-2, (step, err)
     assert max_err > 0  # sanity: not comparing identical objects
+
+
+def test_pallas_query_tiling_matches_jnp(monkeypatch):
+    """Multi-q-tile path (n_qt > 1): shrink QROWS_MAX so a 48-token exc
+    append splits into 3 query tiles, covering the per-tile scratch reset,
+    tile_live bounds and epilogue-per-q-tile logic."""
+    from stc_tpu.ops import stream_attention as sa
+    monkeypatch.setattr(sa, "QROWS_MAX", 32)  # G=2 -> TQ=16, n_qt=3
+    cfg = ReKVConfig(n_init=4, n_local=64, block_size=8, exc_block_size=48,
+                     topk=4, chunk_size=1, max_blocks=64,
+                     max_prompt_tokens=16, max_new_tokens=8)
+    rng = np.random.default_rng(7)
+    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    q = jnp.asarray(rng.normal(size=(1, HQ, cfg.n_init, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, HKV, cfg.n_init, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, HKV, cfg.n_init, D)), jnp.float32)
+    _, kv = append_stream(kv, q, k, v, cfg, is_init=True)
+    for step in range(3):  # crosses the init-fill trigger at 64 tokens
+        q = jnp.asarray(rng.normal(size=(1, HQ, 48, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, HKV, 48, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(1, HKV, 48, D)), jnp.float32)
+        o_ref, kv_ref = append_stream(kv, q, k, v, cfg, is_init=False,
+                                      backend="jnp")
+        o_pl, kv = append_stream(kv, q, k, v, cfg, is_init=False,
+                                 backend="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                                   rtol=2e-2, atol=2e-2, err_msg=str(step))
+        np.testing.assert_array_equal(np.asarray(kv_ref.num_blocks),
+                                      np.asarray(kv.num_blocks))
