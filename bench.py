@@ -2,9 +2,10 @@
 
 Default mode measures the flagship LLaVA-OneVision-0.5B-shaped pipeline with
 STC cacher+pruner defaults (196 -> 60 tokens/frame, 25% ViT recompute on
-cached chunks) ingesting a single stream in 4-frame chunks (reference
+cached chunks) ingesting a single stream in 8-frame chunks (reference
 encode_chunk_size semantics: abstract_rekv.py:49-69; exc_block_size covers
-the chunk so each chunk is ONE attention dispatch per layer).  Weights are
+the chunk so each chunk is ONE attention dispatch per layer — the
+query-tiled kernel keeps the 480-token append inside VMEM).  Weights are
 random (throughput does not depend on weight values); shapes are the real
 llava-onevision-qwen2-0.5b-ov ones.  The timed section runs at STEADY STATE
 (full local window, the long-stream production regime — the fused Pallas
@@ -20,8 +21,11 @@ single-chip 0.5B-shaped config).
 Other modes via BENCH_MODE (each still prints one JSON line):
   qa          — QA latency (retrieval + prompt prefill + 16-token greedy
                 decode), p50 over repeats
-  multistream — aggregate ingest fps with B=4 parallel streams
-  7b          — ingest fps at LLaVA-OV-7B shapes (single chip)
+  multistream — aggregate ingest fps with B=4 parallel streams (run with
+                BENCH_CHUNK_FRAMES=4: the 4x8-frame uint8 payload is ~14 MB
+                per dispatch, which falls off this relay's transfer fast
+                path — 17 fps agg vs 66 at 4-frame chunks)
+  7b          — ingest fps at LLaVA-OV-7B shapes (single chip, int8 weights)
 scripts/bench_all.py runs every mode and writes bench_report.json.
 
 Timing is the MEDIAN of 5 passes (run-to-run variance on this platform is
@@ -48,7 +52,7 @@ from stc_tpu.models import llava_onevision as lo
 from stc_tpu.models import qwen2 as qw
 from stc_tpu.models import siglip as sg
 
-CHUNK = int(os.getenv("BENCH_CHUNK_FRAMES", "4"))
+CHUNK = int(os.getenv("BENCH_CHUNK_FRAMES", "8"))
 STEADY_BLOCKS = int(os.getenv("BENCH_STEADY_BLOCKS", "400"))
 
 
@@ -190,13 +194,15 @@ def bench_ingest(batch=1, seven_b=False):
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
 
+    pool = CHUNK + 4  # frame pool; slices rotate so chunks are not identical
     if batch == 1:
-        frames = rng.integers(0, 256, size=(8, 384, 384, 3), dtype=np.uint8)
+        frames = rng.integers(0, 256, size=(pool, 384, 384, 3),
+                              dtype=np.uint8)
 
         def chunk(i):
             return frames[i % 4: i % 4 + CHUNK]
     else:
-        frames = rng.integers(0, 256, size=(batch, 8, 384, 384, 3),
+        frames = rng.integers(0, 256, size=(batch, pool, 384, 384, 3),
                               dtype=np.uint8)
 
         def chunk(i):

@@ -18,7 +18,10 @@ MODES = [
     ("qa", {}),
     ("qa_host", {}),
     ("qa_host_warm", {}),
-    ("multistream", {}),
+    # 4 streams x 8 frames = a 14 MB per-dispatch pixel payload, which falls
+    # off this relay's transfer fast path (measured 17 fps agg vs 66 at
+    # 4-frame chunks); per-chunk payloads should stay <= ~7 MB
+    ("multistream", {"BENCH_CHUNK_FRAMES": "4"}),
     ("7b", {"BENCH_FRAMES": "48"}),
 ]
 
