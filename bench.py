@@ -228,9 +228,9 @@ def bench_ingest(batch=1, seven_b=False):
     return batch * n_frames / dt
 
 
-def bench_qa():
+def bench_qa(seven_b=False):
     """QA latency: retrieval forward + prompt prefill + 16-token decode."""
-    sess, cfg = build()
+    sess, cfg = build(seven_b=seven_b)
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
     rng = np.random.default_rng(0)
@@ -325,6 +325,16 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 15.0, 3),
+        }))
+    elif mode == "qa_7b":
+        ms = bench_qa(seven_b=True)
+        print(json.dumps({
+            "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
+                      "+ 16-token greedy decode, llava-ov-7B FULL depth, "
+                      "int8 weights, steady-state full window)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
         }))
     elif mode == "qa":
         ms = bench_qa()

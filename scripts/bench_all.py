@@ -23,6 +23,7 @@ MODES = [
     # 4-frame chunks); per-chunk payloads should stay <= ~7 MB
     ("multistream", {"BENCH_CHUNK_FRAMES": "4"}),
     ("7b", {"BENCH_FRAMES": "48"}),
+    ("qa_7b", {}),
 ]
 
 

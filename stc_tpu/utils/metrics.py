@@ -71,3 +71,24 @@ class StreamingStats:
             if self.qa_times else None,
             "kv_memory_gb": kv_memory_bytes / 1024 ** 3,
         }
+
+
+def estimate_flops(fn, *args, **kwargs) -> Optional[float]:
+    """Analytical FLOPs of one call of `fn(*args, **kwargs)` from XLA's
+    compiled cost model — the TPU-native analogue of the reference's
+    calflops GFLOPs instrumentation (flash_vstream_rekv.py:116-123,
+    203-229), but exact for the compiled program instead of a torch-module
+    estimate.  Returns None when the backend reports no cost analysis
+    (some platforms/plugins omit it)."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else None
+    if not ca or "flops" not in ca:
+        return None
+    return float(ca["flops"])

@@ -160,3 +160,34 @@ def test_staged_uint8_ingest_matches_host_preprocess_path():
     np.testing.assert_allclose(np.asarray(a.kvs.block_k),
                                np.asarray(c.kvs.block_k), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_staged_multistream_matches_legacy_path():
+    """stage_chunk handles (B, F, H, W, 3) multi-stream chunks (host reshape
+    to (B*F, ...) staging) and reproduces the numpy-path stream state."""
+    rng = np.random.default_rng(11)
+    cfg = lo.LlavaOVConfig.tiny()
+    tpf = 3
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=128, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=64,
+                        max_prompt_tokens=32, max_new_tokens=8),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=tpf),
+    )
+    params = lo.init_random_params(cfg, jax.random.key(4))
+    frames = rng.integers(0, 256, size=(2, 2, 56, 56, 3), dtype=np.uint8)
+
+    a = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32, batch=2)
+    b = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32, batch=2)
+    a.encode_init_prompt([1, 2, 3, 4])
+    b.encode_init_prompt([1, 2, 3, 4])
+    for f in range(2):
+        a.encode_video(frames[:, f:f + 1])
+        b.encode_video(b.stage_chunk(frames[:, f:f + 1]))
+    np.testing.assert_array_equal(np.asarray(a.kvs.num_blocks),
+                                  np.asarray(b.kvs.num_blocks))
+    np.testing.assert_allclose(np.asarray(a.kvs.block_k),
+                               np.asarray(b.kvs.block_k), rtol=1e-5,
+                               atol=1e-5)
