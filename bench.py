@@ -251,7 +251,7 @@ def bench_qa(seven_b=False):
     return lat[len(lat) // 2]
 
 
-def bench_qa_host(warm=False):
+def bench_qa_host(warm=False, quant="none"):
     """QA latency when retrieval hits HOST-evicted pages (two-tier store,
     speculative-prefetch path).  Cold: the prefetch table is cleared between
     repeats, so every repeat pays the new-question cost — a miss round (one
@@ -259,8 +259,13 @@ def bench_qa_host(warm=False):
     and the served round(s).  Warm: the table persists (repeat/related
     questions), so each QA is a single dispatch with zero host->device
     traffic.  The cold-warm gap is pure transfer: ~47 MB of pages at this
-    relay's ~50 MB/s; on a real v5e host PCIe this is ~5 ms."""
+    relay's ~50 MB/s; on a real v5e host PCIe this is ~5 ms.  quant='int8'
+    benchmarks the compressed host tier (ReKVConfig.host_kv_quant): pages
+    cross the link as int8+scales, halving the cold-path transfer."""
     sess, cfg = build()
+    if quant != "none":
+        import dataclasses
+        sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant=quant)
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
     rng = np.random.default_rng(0)
@@ -269,10 +274,15 @@ def bench_qa_host(warm=False):
     # move the oldest 128 pages to host RAM (long-stream production state);
     # rep keys of fast-forwarded pages are zero, so the top-64 retrieval
     # lands entirely in the host tier — the worst case for this path
-    from stc_tpu.kvcache.host_tier import evict_pages
+    from stc_tpu.kvcache.host_tier import evict_pages, quantize_pages
     E = 128
     ev_k, ev_v, sess.kvs = evict_pages(sess.kvs, E)
-    sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
+    if quant == "int8":
+        kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
+        sess.host_store.append(np.asarray(kq), np.asarray(vq),
+                               np.asarray(ks), np.asarray(vs))
+    else:
+        sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
     sess._evicted_pages = E
     hard_sync(sess)
     q = list(rng.integers(1, 1000, size=24))
@@ -342,6 +352,16 @@ def main():
             "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
                       "+ 16-token greedy decode, llava-ov-0.5b shapes, "
                       "steady-state full window)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "qa_host_int8":
+        ms = bench_qa_host(quant="int8")
+        print(json.dumps({
+            "metric": "QA latency p50 with host-tier hits, INT8-compressed "
+                      "host tier (pages cross the link as int8+scales, cold "
+                      "prefetch table), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec

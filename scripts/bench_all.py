@@ -17,6 +17,7 @@ MODES = [
     ("ingest", {}),
     ("qa", {}),
     ("qa_host", {}),
+    ("qa_host_int8", {}),
     ("qa_host_warm", {}),
     # 4 streams x 8 frames = a 14 MB per-dispatch pixel payload, which falls
     # off this relay's transfer fast path (measured 17 fps agg vs 66 at

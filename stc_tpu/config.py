@@ -55,6 +55,12 @@ class ReKVConfig:
     # ops/decode_attention.py; re-tune on real hardware) |
     # 'pallas_interpret' (tests)
     decode_attn_backend: str = "jnp"
+    # host-tier page compression: 'none' (default; host round trips are
+    # bit-exact, the two-tier QA guarantee) | 'int8' (pages cross the
+    # host<->device link and sit in host RAM as int8 with per-page/dim
+    # scales — half the bytes, ~0.5% KV error on refetch; the reference has
+    # no equivalent, its CPU offload is always fp16)
+    host_kv_quant: str = "none"
 
     def __post_init__(self):
         assert self.exc_block_size <= self.n_local
@@ -194,6 +200,7 @@ class SessionConfig:
             retrieved_kv_compression=os.getenv(
                 "STC_RETRIEVED_KV_COMPRESSION", "none"),
             decode_attn_backend=os.getenv("STC_DECODE_ATTN_BACKEND", "jnp"),
+            host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "none"),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,
                    encode_chunk_frames=chunk_frames,

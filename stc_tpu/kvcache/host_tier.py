@@ -31,30 +31,43 @@ class HostBlockStore:
 
     Chunks are (L, B, Hkv, E, S, D) numpy arrays in eviction order; absolute
     page p lives in chunk p // E at offset p % E (all evictions use the same
-    static E).
+    static E).  With host-tier int8 compression (ReKVConfig.host_kv_quant),
+    chunks are int8 with per-(layer, b, head, page, dim) fp32 scales — half
+    the host RAM and half the bytes on every host<->device crossing.
     """
 
     def __init__(self):
         self.k_chunks: List[np.ndarray] = []
         self.v_chunks: List[np.ndarray] = []
+        self.k_scales: List[np.ndarray] = []  # (L, B, Hkv, E, D), int8 mode
+        self.v_scales: List[np.ndarray] = []
         self.pages_per_chunk: int = 0
         self.total_pages: int = 0
         self.fetch_count: int = 0  # pages served (observability/tests)
 
-    def append(self, k: np.ndarray, v: np.ndarray):
+    @property
+    def quantized(self) -> bool:
+        return bool(self.k_scales)
+
+    def append(self, k: np.ndarray, v: np.ndarray, k_scale=None, v_scale=None):
         E = k.shape[3]
         if self.pages_per_chunk == 0:
             self.pages_per_chunk = E
         assert E == self.pages_per_chunk
+        assert (k_scale is None) == (v_scale is None)
+        assert not self.total_pages or self.quantized == (k_scale is not None)
         self.k_chunks.append(np.asarray(k))
         self.v_chunks.append(np.asarray(v))
+        if k_scale is not None:
+            self.k_scales.append(np.asarray(k_scale))
+            self.v_scales.append(np.asarray(v_scale))
         self.total_pages += E
 
-    def fetch(self, layer: int, batch: int, abs_pages) -> Tuple[np.ndarray,
-                                                                np.ndarray]:
-        """abs_pages: iterable of absolute page indices (< total_pages).
-        Returns (n, Hkv, S, D) k and v."""
-        ks, vs = [], []
+    def fetch_raw(self, layer: int, batch: int, abs_pages):
+        """Pages in STORED form: (k, v, k_scale, v_scale), scales None when
+        the store is unquantized.  Use for host->device staging so int8
+        pages cross the link compressed (dequant on device)."""
+        ks, vs, kss, vss = [], [], [], []
         E = self.pages_per_chunk
         abs_pages = list(abs_pages)
         self.fetch_count += len(abs_pages)
@@ -62,10 +75,26 @@ class HostBlockStore:
             c, o = divmod(int(p), E)
             ks.append(self.k_chunks[c][layer, batch, :, o])
             vs.append(self.v_chunks[c][layer, batch, :, o])
-        return np.stack(ks), np.stack(vs)
+            if self.quantized:
+                kss.append(self.k_scales[c][layer, batch, :, o])
+                vss.append(self.v_scales[c][layer, batch, :, o])
+        if not self.quantized:
+            return np.stack(ks), np.stack(vs), None, None
+        return (np.stack(ks), np.stack(vs), np.stack(kss), np.stack(vss))
+
+    def fetch(self, layer: int, batch: int, abs_pages) -> Tuple[np.ndarray,
+                                                                np.ndarray]:
+        """abs_pages: iterable of absolute page indices (< total_pages).
+        Returns (n, Hkv, S, D) k and v, dequantized host-side if needed."""
+        k, v, ks, vs = self.fetch_raw(layer, batch, abs_pages)
+        if ks is None:
+            return k, v
+        return (k.astype(np.float32) * ks[:, :, None, :],
+                v.astype(np.float32) * vs[:, :, None, :])
 
     def nbytes(self) -> int:
-        return sum(a.nbytes for a in self.k_chunks + self.v_chunks)
+        return sum(a.nbytes for a in self.k_chunks + self.v_chunks
+                   + self.k_scales + self.v_scales)
 
 
 @functools.partial(jax.jit, static_argnames=("n_evict",), donate_argnums=(0,))
@@ -85,3 +114,19 @@ def evict_pages(kvs: StreamKV, n_evict: int):
     new = kvs._replace(block_k=shift_k, block_v=shift_v,
                        page_offset=kvs.page_offset + n_evict)
     return ev_k, ev_v, new
+
+
+@jax.jit
+def quantize_pages(k: jax.Array, v: jax.Array):
+    """Symmetric int8 quantization of evicted pages ON DEVICE (so the D2H
+    transfer is already compressed): per-(..., page, dim) absmax scales over
+    the S token rows.  k/v: (L, B, Hkv, E, S, D) -> (q int8, scale f32
+    (L, B, Hkv, E, D)) each."""
+    def one(x):
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=4)      # (...,E,D)
+        scale = jnp.maximum(a, 1e-8) / 127.0
+        q = jnp.round(x.astype(jnp.float32) / scale[..., None, :])
+        return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return kq, ks, vq, vs

@@ -96,10 +96,15 @@ class StreamingSession:
             qw.answer_question_hosttier, cfg=mc, rekv=rc),
             static_argnames=("max_new_tokens",))
 
-        def _hp_scatter_fn(hp_kv, hp_ids, delta, coords):
-            # delta: (n, 2, Hkv, S, D); coords: (n, 4) = (layer, b, col, id)
+        def _hp_scatter_fn(hp_kv, hp_ids, delta, coords, scales=None):
+            # delta: (n, 2, Hkv, S, D); coords: (n, 4) = (layer, b, col, id);
+            # scales (n, 2, Hkv, D) present when the host tier is int8 —
+            # dequantization happens here, inside the one staging dispatch
             li, bi, ci, pi = (coords[:, 0], coords[:, 1], coords[:, 2],
                               coords[:, 3])
+            if scales is not None:
+                delta = (delta.astype(jnp.float32)
+                         * scales[:, :, :, None, :]).astype(hp_kv.dtype)
             # advanced indices at axes (1, 2, 4) move to the front: the
             # update window is (n, 2, Hkv, S, D) — page-row granular
             hp_kv = hp_kv.at[:, li, bi, :, ci].set(delta)
@@ -156,7 +161,14 @@ class StreamingSession:
             assert E > 0 and resident - E >= self._window_pages, (
                 "max_blocks too small for host-tier eviction margins")
             ev_k, ev_v, self.kvs = evict_pages(self.kvs, E)
-            self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
+            if rc.host_kv_quant == "int8":
+                # quantize ON DEVICE so the D2H copy is already half-size
+                from stc_tpu.kvcache.host_tier import quantize_pages
+                kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
+                self.host_store.append(np.asarray(kq), np.asarray(vq),
+                                       np.asarray(ks), np.asarray(vs))
+            else:
+                self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
             self._evicted_pages += E
 
     def _track_blocks(self, n: int):
@@ -312,20 +324,24 @@ class StreamingSession:
         """Drop the speculative-prefetch table (host pages staged on device).
         Called from clear_cache and when the table outgrows its HBM cap."""
         self._hp_cols = {}     # (layer, b) -> {abs page id: device column}
-        self._hp_pending = []  # (layer, b, col, page id, k, v) not yet staged
+        # (layer, b, col, page id, k, v, scales-or-None) not yet staged
+        self._hp_pending = []
         self._hp_dev = None    # (hp_kv (2,L,B,Hkv,M,S,D), hp_ids (L,B,M))
 
     def _hp_fetch(self, layer: int, b: int, ids):
-        """Pull host pages and queue them for the device prefetch table."""
+        """Pull host pages and queue them for the device prefetch table.
+        Quantized stores stage the RAW int8 pages + scales (half the bytes
+        across the link; dequant happens in the scatter dispatch)."""
         cols = self._hp_cols.setdefault((layer, b), {})
         need = [int(i) for i in ids if int(i) not in cols]
         if not need:
             return
-        hk, hv = self.host_store.fetch(layer, b, need)
+        hk, hv, hks, hvs = self.host_store.fetch_raw(layer, b, need)
         for j, p in enumerate(need):
             col = len(cols)
             cols[p] = col
-            self._hp_pending.append((layer, b, col, p, hk[j], hv[j]))
+            sc = None if hks is None else np.stack([hks[j], hvs[j]])
+            self._hp_pending.append((layer, b, col, p, hk[j], hv[j], sc))
 
     def _hp_device(self):
         """Sync the device-resident prefetch table and return
@@ -356,12 +372,18 @@ class StreamingSession:
                     [ids, jnp.full((L, B, M - M_old), imax, jnp.int32)],
                     axis=2)
         if self._hp_pending:
-            delta = np.stack([np.stack([k, v]) for (_, _, _, _, k, v)
+            delta = np.stack([np.stack([k, v]) for (_, _, _, _, k, v, _)
                               in self._hp_pending])   # (n, 2, Hkv, S, D)
-            coords = np.asarray([(l, b, c, p) for (l, b, c, p, _, _)
+            coords = np.asarray([(l, b, c, p) for (l, b, c, p, _, _, _)
                                  in self._hp_pending], np.int32)
-            kv, ids = self._hp_scatter(kv, ids, jnp.asarray(delta),
-                                       jnp.asarray(coords))
+            scs = [s for (_, _, _, _, _, _, s) in self._hp_pending]
+            if scs[0] is not None:  # int8 host tier: dequant in the scatter
+                kv, ids = self._hp_scatter(
+                    kv, ids, jnp.asarray(delta), jnp.asarray(coords),
+                    jnp.asarray(np.stack(scs), np.float32))
+            else:
+                kv, ids = self._hp_scatter(kv, ids, jnp.asarray(delta),
+                                           jnp.asarray(coords))
             self._hp_pending = []
         self._hp_dev = (kv, ids)
         return kv, ids

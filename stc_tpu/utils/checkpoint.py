@@ -34,6 +34,9 @@ def save_session_state(session, path: str):
         for i, (hk, hv) in enumerate(zip(hs.k_chunks, hs.v_chunks)):
             arrs[f"host_k_{i}"] = hk
             arrs[f"host_v_{i}"] = hv
+        for i, (ks, vs) in enumerate(zip(hs.k_scales, hs.v_scales)):
+            arrs[f"host_ks_{i}"] = ks
+            arrs[f"host_vs_{i}"] = vs
     np.savez_compressed(path, **arrs)
     return path
 
@@ -67,6 +70,9 @@ def load_session_state(session, path: str):
         session._pstate = state["pstate"]
     i = 0
     while f"host_k_{i}" in data:
-        session.host_store.append(data[f"host_k_{i}"], data[f"host_v_{i}"])
+        session.host_store.append(
+            data[f"host_k_{i}"], data[f"host_v_{i}"],
+            data[f"host_ks_{i}"] if f"host_ks_{i}" in data else None,
+            data[f"host_vs_{i}"] if f"host_vs_{i}" in data else None)
         i += 1
     return session

@@ -89,3 +89,14 @@ def make_context_manager(kvm, rope_mod, *, dim_head, n_init, n_local,
         max_cached_block=max_cached_block, topk=topk, chunk_size=chunk_size,
         exc_block_size=exc_block_size, fattn=False,
         async_global_stream=False, pin_memory=False)
+
+
+def load_reference_attention():
+    """rekv_attention.py with its ContextManager rebound to the CPU-shimmed
+    class (the forward's `type(past_key_value) is ContextManager` check must
+    match the shimmed instances we construct)."""
+    kvm, rope_mod = load_reference()
+    ra = _load_shim("model.attention.rekv_attention_cpushim",
+                    os.path.join(REF, "model/attention/rekv_attention.py"))
+    ra.ContextManager = kvm.ContextManager
+    return ra, kvm, rope_mod

@@ -166,3 +166,85 @@ def test_numpy_oracle_matches_reference():
         cm.get_retrieved_kv(torch.from_numpy(q))
         assert oracle.retrieve_indices(q[0]) == sorted(
             cm.retrieved_block_indices[0])
+
+
+def test_qa_attention_and_decode_match_reference():
+    """QA-path parity against the reference's OWN rekv_attention_forward
+    (rekv_attention.py:320-432): after a streamed prefix, the retrieval
+    forward (get_retrieved_kv -> two-stage windowed attention over
+    [init+retrieved | question]) and the subsequent tuple-KV decode steps
+    (:364-384) must match the engine's retrieve_blocks + decode_write +
+    decode_attend to float32 tolerance.  Identity/injected projections make
+    the reference forward drivable on raw QKV tensors (no layer weights).
+    Covers the len_k <= n_local regime — the only one reachable under the
+    session's decode_cap <= n_local invariant (every reference config keeps
+    QA caches far below n_local too)."""
+    import jax.numpy as jnp
+    from reference_driver import load_reference_attention
+    from stc_tpu.kvcache.engine import (decode_attend, decode_write,
+                                        init_decode_kv)
+
+    ra, kvm, rope_mod = load_reference_attention()
+    cm, kv, cfg, _, rng = drive_pair(10, seed=11)
+    fwd = ra.rekv_attention_forward(
+        n_local=cfg.n_local, n_init=cfg.n_init, topk=cfg.topk,
+        chunk_size=cfg.chunk_size, block_size=cfg.block_size,
+        max_cached_block=256, exc_block_size=cfg.exc_block_size,
+        fattn=False, async_global_stream=False, pin_memory=False)
+    rope = cm.position_embedding
+
+    def ref_step(pkv, q4, k4, v4):
+        """Drive the reference forward on injected post-projection QKV."""
+        Tq = q4.shape[2]
+        q_flat = torch.from_numpy(
+            q4.transpose(0, 2, 1, 3).reshape(1, Tq, HQ * D))
+        k_flat = torch.from_numpy(
+            k4.transpose(0, 2, 1, 3).reshape(1, Tq, HKV * D))
+        v_flat = torch.from_numpy(
+            v4.transpose(0, 2, 1, 3).reshape(1, Tq, HKV * D))
+        out, new_pkv = fwd(
+            None, q_flat, k_flat, rope, True, pkv,
+            project_q=lambda x: x, project_k=lambda x: k_flat,
+            project_v=lambda x: v_flat, attention_out=lambda x: x,
+            dim_head=D, num_heads=HQ, num_heads_kv=HKV)
+        o = out.detach().numpy().reshape(1, Tq, HQ, D).transpose(0, 2, 1, 3)
+        return o, new_pkv
+
+    # --- retrieval forward (question) ---
+    Tq = 5
+    q4 = _rand(rng, 1, HQ, Tq, D)
+    k4 = _rand(rng, 1, HKV, Tq, D)
+    v4 = _rand(rng, 1, HKV, Tq, D)
+    cm.set_retrieval()
+    o_ref, pkv = ref_step(cm, q4, k4, v4)
+    assert isinstance(pkv, tuple)  # current_key_value = (past_k, past_v)
+
+    from stc_tpu.kvcache.engine import retrieve_blocks
+    ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q4), cfg)
+    dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv_q = decode_write(dkv, jnp.asarray(k4), jnp.asarray(v4), Tq)
+    q_slots = valid_len[:, None] + np.arange(Tq, dtype=np.int32)[None, :]
+    o_eng = decode_attend(jnp.asarray(q4), jnp.asarray(q_slots), dkv_q, cfg)
+    np.testing.assert_allclose(np.asarray(o_eng), o_ref, rtol=2e-4,
+                               atol=2e-4)
+    # question-KV-not-kept: the reference's returned tuple is the retrieved
+    # prefix ONLY (updata_kv_cache=False) — the engine mirrors this by
+    # resetting the cursor to the prefix length (qa_retrieve_step :301)
+    assert pkv[0].shape[2] == int(np.asarray(valid_len)[0])
+
+    # --- greedy-decode continuation: prompt prefill + two 1-token steps ---
+    from stc_tpu.kvcache.state import DecodeKV
+    dkv = DecodeKV(k=dkv_q.k, v=dkv_q.v, cursor=valid_len)
+    cur = int(np.asarray(valid_len)[0])
+    for step, Tn in enumerate((3, 1, 1)):
+        qn = _rand(rng, 1, HQ, Tn, D)
+        kn = _rand(rng, 1, HKV, Tn, D)
+        vn = _rand(rng, 1, HKV, Tn, D)
+        o_ref, pkv = ref_step(pkv, qn, kn, vn)
+        dkv = decode_write(dkv, jnp.asarray(kn), jnp.asarray(vn), Tn)
+        slots = np.arange(cur, cur + Tn, dtype=np.int32)[None, :]
+        o_eng = decode_attend(jnp.asarray(qn), jnp.asarray(slots), dkv, cfg)
+        cur += Tn
+        np.testing.assert_allclose(np.asarray(o_eng), o_ref, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"decode step {step}")
