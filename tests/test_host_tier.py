@@ -271,3 +271,34 @@ def test_int8_host_tier_qa_protocol_and_checkpoint(tmp_path):
     ans2 = sess2.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
                                     max_new_tokens=6)
     assert ans == ans2  # same quantized store -> identical answers
+
+
+def test_int8_host_tier_interleaved_stream_and_qa():
+    """Long-running int8 session lifecycle: stream past capacity -> QA ->
+    stream more (further quantized evictions) -> QA again.  The prefetch
+    table must stay consistent across phases (warm entries from QA #1 plus
+    newly evicted pages) and every QA must serve host pages."""
+    sess, mcfg = make_sess_q(max_blocks=32, seed=9)
+    rng = np.random.default_rng(9)
+    sess.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    ev1 = sess._evicted_pages
+    assert ev1 > 0
+    a1 = sess.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
+                                 max_new_tokens=4)
+    assert 1 <= len(a1) <= 4
+
+    more = rng.normal(size=(1, 16 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(more)
+    assert sess._evicted_pages > ev1          # new quantized evictions
+    assert sess.host_store.quantized
+    fc = sess.host_store.fetch_count
+    a2 = sess.question_answering([40, 41], [40, 41, 42], [0],
+                                 max_new_tokens=4)
+    assert 1 <= len(a2) <= 4
+    # determinism: repeating the question with the (now warm) table gives
+    # the identical answer
+    a3 = sess.question_answering([40, 41], [40, 41, 42], [0],
+                                 max_new_tokens=4)
+    assert a2 == a3
