@@ -222,3 +222,30 @@ class VLMSession(StreamingSession):
         """Host-stage + start the device transfer for one chunk of frames
         (call from a prefetch thread; pair with encode_video(staged))."""
         return jax.device_put(self.vision.preprocess(frames))
+
+    def estimate_chunk_flops(self, cached: bool = False):
+        """Analytical FLOPs of one encode chunk at the current stream state,
+        from XLA's compiled cost model — the exact-counterpart of the
+        reference's calflops GFLOPs instrumentation
+        (flash_vstream_rekv.py:116-123, 203-229).  cached=True measures the
+        STC-Cacher selective-recompute path; the full/cached ratio is the
+        cacher's true FLOPs saving for the compiled program.  Returns None
+        on backends without a cost model."""
+        n = self.scfg.encode_chunk_frames
+        hw = self.vision.cfg.vision.image_size
+        pixels = np.zeros((n * self.batch, hw, hw, 3), np.uint8)
+        bucket = self._bucket(
+            max(self._total_blocks + n - self._evicted_pages, 1))
+        fn = self._get_frame_jit(cached, bucket)
+        compiled = fn.lower(self._all_params, pixels, kvs=self.kvs,
+                            vstate=self._vstate, pstate=self._pstate
+                            ).compile()
+        try:
+            ca = compiled.cost_analysis()
+        except Exception:
+            return None
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca or "flops" not in ca:
+            return None
+        return float(ca["flops"])
