@@ -33,8 +33,9 @@ class ReKVConfig:
     topk: int = 64                # retrieved blocks per question
     chunk_size: int = 1           # retrieval scoring chunk grouping
     max_blocks: int = 1024        # static capacity of the HBM page store (frames)
-    max_rep_blocks: int = 0       # rep-key capacity (0 => max_blocks); set
-                                  # larger to retrieve host-evicted pages
+    max_rep_blocks: int = 0       # rep-key capacity (0 => 4*max_blocks so
+                                  # host-tier streams have headroom); set to
+                                  # the stream length for longer sessions
     max_new_tokens: int = 128     # decode budget per question
     max_prompt_tokens: int = 512  # static prompt-prefill capacity for QA
     # --- ablation paths (reference selectable strategies) ---
@@ -69,10 +70,16 @@ class ReKVConfig:
                                          "l2norm"), self.retrieval_scorer
         assert self.decode_attn_backend in ("jnp", "pallas",
                                             "pallas_interpret")
+        # consumers compare == 'int8'; a typo (e.g. via STC_HOST_KV_QUANT)
+        # must fail fast, not silently disable compression
+        assert self.host_kv_quant in ("none", "int8"), self.host_kv_quant
 
     @property
     def rep_cap(self) -> int:
-        return self.max_rep_blocks or self.max_blocks
+        """Retrievable-history capacity in blocks.  Rep keys cost Hkv*D per
+        block (~1/block_size of the page bytes), so the default gives the
+        host tier 4x the device store before the session's fail-fast."""
+        return self.max_rep_blocks or 4 * self.max_blocks
 
     @property
     def local_cap(self) -> int:
@@ -167,6 +174,9 @@ class SessionConfig:
     # weight-only quantization, models/qwen2.py quantize_params_int8 —
     # halves the weights-read floor and fits full-depth 7B on a 16 GB chip)
     weights_quant: str = "none"
+
+    def __post_init__(self):
+        assert self.weights_quant in ("none", "int8"), self.weights_quant
 
     @classmethod
     def from_env(cls) -> "SessionConfig":

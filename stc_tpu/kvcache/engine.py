@@ -677,7 +677,12 @@ def decode_attend(q: jax.Array, q_slots: jax.Array, dkv: DecodeKV,
 
     q: (B, Hq, T, D) unrotated; q_slots: (B, T) slot positions of the queries
     (their keys must already be written via decode_write, so dist==0 sees
-    self).  Mirrors the QA sliding-window path (rekv_attention.py:388-426);
+    self).  CONTRACT: q_slots must be affine, q_slots[:, t] == q_slots[:, 0]
+    + t — true at every call site (prompt prefill, retrieval forward, token
+    decode all append contiguously); the pallas backend relies on it and
+    reads only q_slots[:, 0], so a non-affine call would be silently wrong
+    under 'pallas' while the jnp branch would honor it.
+    Mirrors the QA sliding-window path (rekv_attention.py:388-426);
     the complement-window init stage is empty whenever the cache never exceeds
     n_local, which holds for every supported config (decode_cap <= n_local is
     asserted at session build time).

@@ -177,8 +177,9 @@ def quantize_params_int8(params):
     Expects fused params (fuse_params); norms, biases, and the small
     projector stay in the input dtype.  Idempotent.
 
-    NOTE: parallel/ PartitionSpecs cover the unquantized names; quantized
-    multi-chip sharding is future work (single-chip serving feature).
+    Multi-chip: parallel/sharding.py maps the quantized names (*_q/*_s) to
+    the same tp PartitionSpecs as their bf16 counterparts; sharded quantized
+    serving is exercised by tests/test_sharding.py.
     """
     def q(w):
         # w: (..., in, out) -> int8 (..., in, out) + f32 scales (..., out)

@@ -225,7 +225,6 @@ def decode_score(q_rot: jax.Array, k: jax.Array, m: jax.Array,
     G = Hq // Hkv
     Tp = _round_up(T, 8)
     GT = G * Tp
-    Gp = _round_up(G, 8)
     tile = min(512, _round_up(C, LANES))
     Cp = _round_up(C, tile)
     n_tiles = Cp // tile

