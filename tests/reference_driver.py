@@ -43,10 +43,38 @@ class _FakeEvent:
         pass
 
 
+class _FakeStream:
+    """No-op side stream: the reference's async offload machinery degrades
+    to synchronous execution on CPU (same results, no overlap)."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def wait_stream(self, *a, **k):
+        pass
+
+    def synchronize(self):
+        pass
+
+
+class _FakeStreamCtx:
+    def __init__(self, *a, **k):
+        pass
+
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
 def _install_cuda_shims():
     if not torch.cuda.is_available():
         torch.cuda.Event = _FakeEvent
-        torch.cuda.current_stream = lambda *a, **k: None
+        torch.cuda.Stream = _FakeStream
+        torch.cuda.stream = _FakeStreamCtx
+        torch.cuda.current_stream = lambda *a, **k: _FakeStream()
+        torch.cuda.synchronize = lambda *a, **k: None
 
 
 def _load_shim(name: str, path: str):

@@ -109,6 +109,11 @@ def _load_reference_package():
         return _state["pkg"]
     _stub_logzero()
     _install_cuda_shims()
+    if not torch.cuda.is_available():
+        # clear_cache() calls these unconditionally (abstract_rekv.py:25-26);
+        # CPU-only torch raises instead of no-opping
+        torch.cuda.ipc_collect = lambda *a, **k: None
+        torch.cuda.empty_cache = lambda *a, **k: None
     if not torch.distributed.is_available() or not \
             torch.distributed.is_initialized():
         torch.distributed.get_rank = lambda *a, **k: 0
@@ -287,7 +292,7 @@ def load_reference_llava_ov(model_path: str, text_mapping: dict, *,
 
     def fp32_from_pretrained(cls, *a, **k):
         k["torch_dtype"] = torch.float32
-        mdl = cls._orig_from_pretrained(*a, **k)
+        mdl = cls._orig_from_pretrained(cls, *a, **k)
         _modernize(mdl)
         return mdl
 

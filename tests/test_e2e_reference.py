@@ -41,8 +41,11 @@ for qs, qi, ps, pi in QUESTIONS:
 
 POOLED = 4       # (56 / 14 // 2)^2 pooled tokens per frame
 KEEP = 3         # STC-Pruner tokens kept per frame (= block_size)
-N_LOCAL, TOPK = 256, 2
-N_FRAMES = 6
+# n_local small enough that a 48-frame stream crosses the reference's
+# local-window trigger: blocks are carved out of the remainder into CPU
+# MemoryUnits, so retrieval spans BOTH the offloaded and remainder regimes
+N_LOCAL, TOPK = 128, 2
+N_FRAMES = 48
 
 
 @pytest.fixture(scope="module")
@@ -145,7 +148,9 @@ def test_answers_and_retrieval_match_reference_model_loop(checkpoint,
     ref.clear_cache()
     ref.encode_init_prompt()
     ref.encode_video(frames)
-    assert len(ref.kv_cache[0].global_blocks[0]) == N_FRAMES
+    # the stream crossed the local-window trigger: some blocks live as CPU
+    # MemoryUnits, the rest still in the global remainder
+    assert len(ref.kv_cache[0].global_blocks[0]) > 0
 
     sess = tpu_session(checkpoint, cacher)
     sess.encode_init_prompt(INIT_IDS)
@@ -170,19 +175,19 @@ def test_stream_continues_after_qa_matches_reference(checkpoint):
     ref = ref_session(checkpoint, "none")
     ref.clear_cache()
     ref.encode_init_prompt()
-    ref.encode_video(frames[:4])
+    ref.encode_video(frames[:32])
 
     sess = tpu_session(checkpoint, "none")
     sess.encode_init_prompt(INIT_IDS)
-    sess.encode_video(frames[:4])
+    sess.encode_video(frames[:32])
 
     qs, qi, ps, pi = QUESTIONS[0]
     a_ref, _ = ref_qa(ref, qs, ps, max_new_tokens=4)
     a_got = sess.question_answering(qi, pi, [0], max_new_tokens=4)
     assert a_got == a_ref
 
-    ref.encode_video(frames[4:])
-    sess.encode_video(frames[4:])
+    ref.encode_video(frames[32:])
+    sess.encode_video(frames[32:])
     qs, qi, ps, pi = QUESTIONS[2]
     b_ref, _ = ref_qa(ref, qs, ps, max_new_tokens=4)
     b_got = sess.question_answering(qi, pi, [0], max_new_tokens=4)
