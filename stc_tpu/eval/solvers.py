@@ -18,7 +18,10 @@ CHOICE_LETTERS = ["A", "B", "C", "D", "E", "F", "G", "H"]
 
 
 def load_video_frames(video_path: str, sample_fps: float = 1.0) -> np.ndarray:
-    """Decode frames at sample_fps (reference base_refactored.py:27-33)."""
+    """Decode frames at sample_fps (reference base_refactored.py:27-33).
+
+    decord when installed (the reference's decoder), else OpenCV — same
+    sampling rule (every round(fps)/sample_fps-th frame) either way."""
     if video_path.endswith(".npy"):
         video = np.load(video_path)
         if sample_fps < 1:
@@ -26,11 +29,36 @@ def load_video_frames(video_path: str, sample_fps: float = 1.0) -> np.ndarray:
                               dtype=int)
             video = video[idx]
         return video
-    from decord import VideoReader, cpu  # optional C++ decoder
+    try:
+        from decord import VideoReader, cpu  # optional C++ decoder
+    except ImportError:
+        return _load_video_frames_cv2(video_path, sample_fps)
     vr = VideoReader(video_path, ctx=cpu(0))
     fps = round(vr.get_avg_fps())
     idx = list(range(0, len(vr), max(1, int(fps / sample_fps))))
     return vr.get_batch(idx).asnumpy()
+
+
+def _load_video_frames_cv2(video_path: str, sample_fps: float) -> np.ndarray:
+    """OpenCV decode path (BGR -> RGB), mirroring the decord sampling."""
+    import cv2
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {video_path}")
+    fps = round(cap.get(cv2.CAP_PROP_FPS) or 1)
+    step = max(1, int(fps / sample_fps))
+    frames, i = [], 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % step == 0:
+            frames.append(frame[:, :, ::-1])
+        i += 1
+    cap.release()
+    if not frames:
+        raise IOError(f"no frames decoded from {video_path}")
+    return np.ascontiguousarray(np.stack(frames))
 
 
 class BaseVQA:

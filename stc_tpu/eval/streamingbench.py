@@ -32,17 +32,46 @@ def parse_timestamp(ts: str) -> int:
 
 def split_video(video_path: str, start_s: int, end_s: int,
                 cache_dir: str) -> str:
-    """ffmpeg-clip [start, end] with a deterministic cache (reference
-    video_execution.py:29-40)."""
+    """Clip [start, end] with a deterministic cache (reference
+    video_execution.py:29-40): ffmpeg when present, else OpenCV re-encode
+    (hosts without an ffmpeg binary — OpenCV ships its own codecs)."""
+    import shutil
     os.makedirs(cache_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(video_path))[0]
     out = os.path.join(cache_dir, f"{base}_{start_s}_{end_s}.mp4")
     if not os.path.exists(out):
-        subprocess.run(
-            ["ffmpeg", "-y", "-i", video_path, "-ss", str(start_s),
-             "-to", str(end_s), "-c:v", "libx264", "-an", out],
-            check=True, capture_output=True)
+        if shutil.which("ffmpeg"):
+            subprocess.run(
+                ["ffmpeg", "-y", "-i", video_path, "-ss", str(start_s),
+                 "-to", str(end_s), "-c:v", "libx264", "-an", out],
+                check=True, capture_output=True)
+        else:
+            _split_video_cv2(video_path, start_s, end_s, out)
     return out
+
+
+def _split_video_cv2(video_path: str, start_s: int, end_s: int, out: str):
+    import cv2
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 1.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    wr = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    first, last = int(start_s * fps), int(end_s * fps)
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok or i >= last:
+            break
+        if i >= first:
+            wr.write(frame)
+        i += 1
+    cap.release()
+    wr.release()
+    if not os.path.exists(out):
+        raise IOError(f"clip write failed: {out}")
 
 
 class StreamingBenchEval:
