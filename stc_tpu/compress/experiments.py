@@ -58,44 +58,142 @@ def tome_merge(metric: jax.Array, x: jax.Array, sizes: jax.Array, r: int
     return merged.astype(x.dtype), wsum.astype(sizes.dtype), keep
 
 
-def sttm_merge(frame_tokens: jax.Array, token_budget: int,
-               similarity_threshold: float = 0.85) -> jax.Array:
-    """Quadtree-flavoured spatial token merging with a fixed budget
-    (reference experiment/sttm.py, static-shape formulation).
+def _adaptive_pool2(x: jax.Array) -> jax.Array:
+    """(H, W, C) -> (ceil(H/2), ceil(W/2), C) average pooling with torch
+    adaptive_avg_pool2d bin boundaries (reference sttm.py:92-98; for even
+    sizes identical to avg_pool2d k=2 s=2, :78-79)."""
+    def pool_axis(a, axis):
+        n = a.shape[axis]
+        out = -(-n // 2)
+        parts = []
+        for i in range(out):
+            lo, hi = (i * n) // out, -(-((i + 1) * n) // out)
+            parts.append(jnp.take(a, jnp.arange(lo, hi), axis=axis
+                                  ).mean(axis=axis, keepdims=True))
+        return jnp.concatenate(parts, axis=axis)
 
-    frame_tokens: (H*W, C) single-frame tokens on a square grid.
-    Spatially homogeneous 2x2 cells (children cosine-similar to their mean
-    above the threshold) are represented by their mean; the budget is met by
-    keeping the `token_budget` LEAST-mergeable tokens at full resolution and
-    the coarsest summaries elsewhere.  Returns (token_budget, C).
+    return pool_axis(pool_axis(x, 0), 1)
+
+
+def sttm_pyramid(frame: jax.Array) -> list:
+    """Coarse-to-fine feature pyramid (reference build_feature_pyramid,
+    sttm.py:56-89): repeated 2x average pooling until the coarsest level is
+    <= 2 on a side.  frame: (H, W, C)."""
+    pyr = [frame]
+    while pyr[0].shape[0] > 2:
+        pyr.insert(0, _adaptive_pool2(pyr[0]))
+    return pyr
+
+
+def sttm_quadtree_candidates(frame: jax.Array,
+                             similarity_threshold: float = 0.85):
+    """Full multi-level quadtree evaluation (reference
+    evaluate_quadtree_node, sttm.py:147-245) in static-shape form.
+
+    The recursion becomes per-level masks: a node is REACHED iff every
+    ancestor failed the merge test; a reached node whose <=4 children are
+    cosine-similar to it on average above the threshold is a MERGED
+    candidate (score = avg similarity, area = #children); reached
+    finest-level nodes are leaf candidates (score 1.0, area 1).  Candidates
+    partition the grid by construction.
+
+    Returns per-level lists (same length as the pyramid):
+      tokens[l]: (h_l, w_l, C), cand[l]: (h_l, w_l) bool,
+      score[l], area[l], reached[l].
+    """
+    pyr = sttm_pyramid(frame.astype(jnp.float32))
+    n = len(pyr)
+    sims, areas_m = [], []
+    for lvl in range(n - 1):
+        parent, child = pyr[lvl], pyr[lvl + 1]
+        h, w, C = parent.shape
+        hn, wn = child.shape[:2]
+        s_sum = jnp.zeros((h, w), jnp.float32)
+        s_cnt = jnp.zeros((h, w), jnp.float32)
+        pn = parent / jnp.maximum(jnp.linalg.norm(parent, axis=-1,
+                                                  keepdims=True), 1e-8)
+        cn = child / jnp.maximum(jnp.linalg.norm(child, axis=-1,
+                                                 keepdims=True), 1e-8)
+        for dy in range(2):
+            for dx in range(2):
+                cy = jnp.arange(h) * 2 + dy
+                cx = jnp.arange(w) * 2 + dx
+                valid = (cy[:, None] < hn) & (cx[None, :] < wn)
+                cs = cn[jnp.minimum(cy, hn - 1)][:, jnp.minimum(cx, wn - 1)]
+                s = (pn * cs).sum(-1)
+                s_sum = s_sum + jnp.where(valid, s, 0.0)
+                s_cnt = s_cnt + valid
+        sims.append(s_sum / jnp.maximum(s_cnt, 1.0))
+        areas_m.append(s_cnt)
+
+    reached = [jnp.ones(pyr[0].shape[:2], bool)]
+    for lvl in range(n - 1):
+        merged = sims[lvl] >= similarity_threshold
+        hn, wn = pyr[lvl + 1].shape[:2]
+        parent_open = (reached[lvl] & ~merged)
+        ys = jnp.arange(hn) // 2
+        xs = jnp.arange(wn) // 2
+        reached.append(parent_open[ys][:, xs])
+    cand, score, area = [], [], []
+    for lvl in range(n):
+        if lvl < n - 1:
+            merged = sims[lvl] >= similarity_threshold
+            cand.append(reached[lvl] & merged)
+            score.append(sims[lvl])
+            area.append(areas_m[lvl])
+        else:
+            cand.append(reached[lvl])
+            score.append(jnp.ones(pyr[lvl].shape[:2], jnp.float32))
+            area.append(jnp.ones(pyr[lvl].shape[:2], jnp.float32))
+    return pyr, cand, score, area, reached
+
+
+def sttm_merge(frame_tokens: jax.Array, token_budget: int,
+               similarity_threshold: float = 0.85):
+    """Multi-level quadtree spatial token merging with a budget (reference
+    experiment/sttm.py:6-313 spatial_token_merging_with_budget, one frame).
+
+    frame_tokens: (H*W, C) tokens on a square grid.  Builds the full
+    coarse-to-fine pyramid, runs the quadtree merge test at every level, and
+    selects candidates under the budget by priority = score * area
+    (reference select_tokens_by_budget:269-275).  Below budget, ALL
+    candidates are returned (reference :263-267, the well-defined regime);
+    above budget we take the top-budget priorities directly — candidates
+    are disjoint by construction, so the reference's greedy non-overlap
+    scan admits them in the same priority order (its region bookkeeping
+    also computes scale factors from len(candidate_nodes) instead of the
+    pyramid depth, :290, which makes that branch infeasible to execute —
+    a reference defect not reproduced).
+
+    Returns (tokens (budget, C), positions (budget, 3) = (y, x, level),
+    valid (budget,)); slots past the candidate count are masked invalid.
     """
     N, C = frame_tokens.shape
     H = int(N ** 0.5)
     assert H * H == N, "square token grid expected"
-    x = frame_tokens.astype(jnp.float32).reshape(H, W := H, C)
+    x = frame_tokens.reshape(H, H, C)
+    pyr, cand, score, area, _ = sttm_quadtree_candidates(
+        x, similarity_threshold)
 
-    # one pyramid level: 2x2 cell means + per-token similarity to cell mean
-    h2 = H // 2
-    cells = x[: h2 * 2, : h2 * 2].reshape(h2, 2, h2, 2, C)
-    mean = cells.mean(axis=(1, 3), keepdims=True)
-    sim = (cells * mean).sum(-1) / jnp.maximum(
-        jnp.linalg.norm(cells, axis=-1) * jnp.linalg.norm(mean, axis=-1),
-        1e-8)
-    cell_min_sim = sim.min(axis=(1, 3))               # (h2, h2)
-    # per-token mergeability = its cell's cohesion (high = safe to merge)
-    merge_score = jnp.repeat(jnp.repeat(cell_min_sim, 2, 0), 2, 1)
-    merge_score = jnp.pad(merge_score, ((0, H - h2 * 2), (0, H - h2 * 2)),
-                          constant_values=-1.0).reshape(-1)
+    toks, prios, poss = [], [], []
+    for lvl, p in enumerate(pyr):
+        h, w, _ = p.shape
+        toks.append(p.reshape(h * w, C))
+        prio = jnp.where(cand[lvl], score[lvl] * area[lvl], -jnp.inf)
+        prios.append(prio.reshape(-1))
+        yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        poss.append(jnp.stack(
+            [yy.reshape(-1), xx.reshape(-1),
+             jnp.full((h * w,), lvl, jnp.int32)], axis=1))
+    all_t = jnp.concatenate(toks, axis=0)
+    all_p = jnp.concatenate(prios, axis=0)
+    all_pos = jnp.concatenate(poss, axis=0)
 
-    # keep the least-mergeable tokens; replace the rest with their cell mean
-    _, keep_idx = jax.lax.top_k(-merge_score, token_budget)
-    keep_idx = jnp.sort(keep_idx)
-    means_full = jnp.repeat(jnp.repeat(mean[:, 0, :, 0], 2, 0), 2, 1)
-    means_full = jnp.pad(means_full,
-                         ((0, H - h2 * 2), (0, H - h2 * 2), (0, 0)))
-    merged = jnp.where((merge_score >= similarity_threshold)[:, None],
-                       means_full.reshape(-1, C), x.reshape(-1, C))
-    return merged[keep_idx].astype(frame_tokens.dtype)
+    budget = min(token_budget, all_t.shape[0])
+    vals, idx = jax.lax.top_k(all_p, budget)
+    out_t = all_t[idx].astype(frame_tokens.dtype)
+    out_pos = all_pos[idx].astype(jnp.int32)
+    return out_t, out_pos, jnp.isfinite(vals)
 
 
 def kmeans_select(x: jax.Array, n_clusters: int, iters: int = 10,

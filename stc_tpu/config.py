@@ -50,6 +50,18 @@ class ReKVConfig:
     # 'filter_tokens_inverse_cosine' | 'filter_tokens_percentile' |
     # 'filter_tokens_top_half'
     retrieved_kv_compression: str = "none"
+    # local-window KV compression at append time (the reference's
+    # off-by-default USE_KV_COMPRESSION hook, kv_cache_manager.py:2315-2321
+    # -> select_top_half_kv :2190-2247): 'none' | 'select_top_half' — per
+    # appended page keep the ceil(S/2) tokens with the largest head/dim-mean
+    # attention output; window attention masks the rest (per-page keep
+    # masks).  Global pages and retrieval stay FULL-KV, as in the reference
+    # (only local_k/v are compressed there).  Kept tokens retain their TRUE
+    # stream positions here (the reference renumbers the compacted buffer —
+    # documented deviation; the unified page store keeps positions absolute).
+    # Encode attention uses the XLA path when enabled (the paged Pallas
+    # kernel does not read keep masks).
+    window_kv_compression: str = "none"
     # decode/QA-path attention backend: 'jnp' (XLA; default — each
     # pallas_call costs ~1.1 ms fixed on this relayed platform,
     # PLATFORM_NOTES.md) | 'pallas' (fused flash kernel,
@@ -73,6 +85,8 @@ class ReKVConfig:
         # consumers compare == 'int8'; a typo (e.g. via STC_HOST_KV_QUANT)
         # must fail fast, not silently disable compression
         assert self.host_kv_quant in ("none", "int8"), self.host_kv_quant
+        assert self.window_kv_compression in ("none", "select_top_half"), \
+            self.window_kv_compression
 
     @property
     def rep_cap(self) -> int:
@@ -209,6 +223,8 @@ class SessionConfig:
             retrieval_scorer=os.getenv("STC_RETRIEVAL_SCORER", "mean_dot"),
             retrieved_kv_compression=os.getenv(
                 "STC_RETRIEVED_KV_COMPRESSION", "none"),
+            window_kv_compression=os.getenv(
+                "STC_WINDOW_KV_COMPRESSION", "none"),
             decode_attn_backend=os.getenv("STC_DECODE_ATTN_BACKEND", "jnp"),
             host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "none"),
         )

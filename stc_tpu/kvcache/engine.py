@@ -66,6 +66,7 @@ def init_stream_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
         block_k=z((B, H, Nb, S, D)),
         block_v=z((B, H, Nb, S, D)),
         block_rep=z((B, cfg.rep_cap, H, D)),
+        page_keep=jnp.ones((B, Nb, S), dtype=bool),
         num_blocks=jnp.zeros((B,), dtype=jnp.int32),
         page_offset=jnp.zeros((B,), dtype=jnp.int32),
         length=jnp.zeros((B,), dtype=jnp.int32),
@@ -258,6 +259,10 @@ def append_stream(
     assert n_new <= cfg.exc_block_size // S, (
         f"append of {n_new} pages exceeds exc_block_size="
         f"{cfg.exc_block_size} (the window cover is sized for it)")
+    compress_window = cfg.window_kv_compression == "select_top_half"
+    assert not (compress_window and backend.startswith("pallas")), (
+        "window_kv_compression needs the jnp encode backend (the paged "
+        "Pallas kernel does not read page keep masks)")
     rc = rope_cache if rope_cache is not None else make_rope_cache(
         kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages,
         page_offset=kv.page_offset)
@@ -327,14 +332,47 @@ def append_stream(
         win_k = jax.vmap(_win)(block_k, rc.win_start)
         win_v = jax.vmap(_win)(block_v, rc.win_start)
         k_win_rot = _rot(win_k, rc.cos_win[:, None], rc.sin_win[:, None])
+        local_mask = rc.local_mask
+        if compress_window:
+            # mask window tokens dropped by earlier appends' compression;
+            # the pages written THIS call still carry all-ones keep rows, so
+            # the current chunk attends itself at full resolution — the
+            # reference order too (attention first, compress after, :2300)
+            def _wk(keep_b, start):
+                return jax.lax.dynamic_slice_in_dim(
+                    keep_b, start, local_mask.shape[3], axis=0)
+
+            win_keep = jax.vmap(_wk)(kv.page_keep, rc.win_start)
+            local_mask = local_mask & win_keep[:, None, None]
         # joint softmax over [init-local | window | init-one-angle]
         o = _stream_attention(q_rot, q_one, k_init_rot, kv.init_v,
                               rc.init_local_mask, k_win_rot, win_v,
-                              rc.local_mask, kv.init_k, kv.init_v,
+                              local_mask, kv.init_k, kv.init_v,
                               rc.init_active)
 
+    page_keep = kv.page_keep
+    if compress_window:
+        # reference select_top_half_kv hook (kv_cache_manager.py:2315-2321):
+        # per just-appended page keep the ceil(S/2) tokens whose attention
+        # OUTPUTS have the largest head/dim mean; future windows mask the
+        # rest (per-page granularity — the reference's per-exc-chunk
+        # granularity coincides when exc_block_size == block_size, which
+        # holds in every reference config)
+        keep_n = -(-S // 2)
+        score = o.astype(jnp.float32).mean(axis=(1, 3)).reshape(B, n_new, S)
+        _, top = jax.lax.top_k(score, keep_n)             # (B, n_new, keep_n)
+        new_keep = jnp.any(
+            jax.nn.one_hot(top, S, dtype=jnp.bool_), axis=2)  # (B, n_new, S)
+
+        def _wr_keep(keep_b, rows, start):
+            return jax.lax.dynamic_update_slice_in_dim(keep_b, rows, start,
+                                                       axis=0)
+
+        page_keep = jax.vmap(_wr_keep)(page_keep, new_keep, slot)
+
     new_kv = kv._replace(block_k=block_k, block_v=block_v,
-                         block_rep=block_rep, num_blocks=num_blocks,
+                         block_rep=block_rep, page_keep=page_keep,
+                         num_blocks=num_blocks,
                          length=kv.length + T)
     return o, new_kv
 

@@ -111,7 +111,13 @@ def evict_pages(kvs: StreamKV, n_evict: int):
         [kvs.block_k[:, :, :, n_evict:], jnp.zeros_like(ev_k)], axis=3)
     shift_v = jnp.concatenate(
         [kvs.block_v[:, :, :, n_evict:], jnp.zeros_like(ev_v)], axis=3)
+    # keep masks shift with their pages; vacated slots reset to all-ones
+    # (fresh pages must attend fully until their own compression writes)
+    shift_keep = jnp.concatenate(
+        [kvs.page_keep[:, :, n_evict:],
+         jnp.ones_like(kvs.page_keep[:, :, :n_evict])], axis=2)
     new = kvs._replace(block_k=shift_k, block_v=shift_v,
+                       page_keep=shift_keep,
                        page_offset=kvs.page_offset + n_evict)
     return ev_k, ev_v, new
 

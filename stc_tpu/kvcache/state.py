@@ -53,6 +53,10 @@ class StreamKV(NamedTuple):
     block_k: jax.Array    # (B, Hkv, max_blocks, S, D) unrotated
     block_v: jax.Array    # (B, Hkv, max_blocks, S, D)
     block_rep: jax.Array  # (B, rep_cap, Hkv, D) mean key per ABSOLUTE block
+    # per-page token keep mask for WINDOW attention (all-ones unless
+    # ReKVConfig.window_kv_compression is on; pages stay full for retrieval
+    # — reference select_top_half_kv compresses only local_k/v)
+    page_keep: jax.Array  # (B, max_blocks, S) bool
     num_blocks: jax.Array  # (B,) int32 — total blocks ever appended
     page_offset: jax.Array  # (B,) int32 — absolute index of device slot 0
 

@@ -66,6 +66,36 @@ def qwen2_param_specs(params=None):
     }
 
 
+def siglip_param_specs():
+    """Megatron-style tp specs for the SigLIP tower (models/siglip.py
+    init_params layout): attention projections shard over heads on the
+    output axis, the MLP over its hidden axis; GSPMD inserts the psums
+    after wo / fc2.  Norms, patch embed, and position embeddings replicate
+    (tiny)."""
+    col = P(None, None, "tp")   # (L, C, C_out) -> output axis sharded
+    colb = P(None, "tp")
+    row = P(None, "tp", None)   # (L, C_in, C) -> input axis sharded
+    return {
+        "patch_w": P(), "patch_b": P(), "pos_embed": P(),
+        "layers": {
+            "ln1_w": P(), "ln1_b": P(),
+            "wq": col, "bq": colb, "wk": col, "bk": colb,
+            "wv": col, "bv": colb,
+            "wo": row, "bo": P(),
+            "ln2_w": P(), "ln2_b": P(),
+            "fc1": col, "fc1_b": colb,
+            "fc2": row, "fc2_b": P(),
+        },
+        "post_ln_w": P(), "post_ln_b": P(),
+    }
+
+
+def projector_param_specs():
+    """Two-layer GELU projector: column- then row-parallel (one psum)."""
+    return {"w1": P(None, "tp"), "b1": P("tp"),
+            "w2": P("tp", None), "b2": P()}
+
+
 def stream_kv_specs() -> StreamKV:
     """Specs for the layer-stacked StreamKV: leaves carry (L, B, ...)."""
     return StreamKV(
@@ -74,6 +104,7 @@ def stream_kv_specs() -> StreamKV:
         block_k=P(None, "dp", "tp", None, None, None),
         block_v=P(None, "dp", "tp", None, None, None),
         block_rep=P(None, "dp", None, "tp", None),
+        page_keep=P(None, "dp", None, None),
         num_blocks=P(None, "dp"),
         page_offset=P(None, "dp"),
         length=P(None, "dp"),

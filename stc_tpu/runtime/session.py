@@ -75,6 +75,10 @@ class StreamingSession:
         mc, rc = model_cfg, self.rekv
         self.attn_backend = _resolve_backend(
             os.environ.get("STC_ATTN_BACKEND", "auto"))
+        if rc.window_kv_compression != "none" and \
+                self.attn_backend == "pallas":
+            # the paged Pallas kernel does not read page keep masks
+            self.attn_backend = "jnp"
         self._encode_init = jax.jit(functools.partial(
             qw.encode_step, cfg=mc, rekv=rc, is_init=True),
             donate_argnames=("kvs",))

@@ -163,3 +163,72 @@ def test_scorer_differs_from_mean_dot():
     # not required to differ per layer, but across layers the strategies
     # should not be identical on random data
     assert picked_dot != picked_l2
+
+
+# ---------------------------------------------------------------------------
+# Window KV compression (reference USE_KV_COMPRESSION / select_top_half_kv
+# append hook) as a runtime knob
+# ---------------------------------------------------------------------------
+
+def test_window_kv_compression_engine_matches_library():
+    """The engine's per-page keep mask must equal the oracle-tested library
+    selection (compress.experiments.select_top_half_kv) on the same
+    attention outputs."""
+    from stc_tpu.compress.experiments import select_top_half_kv
+    cfg = dataclasses.replace(CFG, window_kv_compression="select_top_half")
+    kv, rng = build_kv(0, cfg)
+    q = jnp.asarray(rng.normal(size=(1, HQ, 8, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, HKV, 8, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, HKV, 8, D)), jnp.float32)
+    o, kv = append_stream(kv, q, k, v, cfg, is_init=False)
+    keep = np.asarray(kv.page_keep)[0, 0]          # page 0's mask (S,)
+    assert keep.sum() == -(-8 // 2)
+    _, _, idx = select_top_half_kv(k, v, o[:, :, :8], 8)
+    want = np.zeros(8, bool)
+    want[np.asarray(idx)[0]] = True
+    np.testing.assert_array_equal(keep, want)
+
+
+def test_window_kv_compression_session_ablation():
+    """Session-level knob: compressed-window sessions attend fewer window
+    tokens (outputs diverge from the base session after the first
+    compressed append) while pages and retrieval stay FULL-KV (reference
+    compresses only local_k/v, kv_cache_manager.py:2190-2247)."""
+    base = make_sess({})
+    comp = make_sess({"window_kv_compression": "select_top_half"})
+
+    # every appended page keeps exactly ceil(S/2) window tokens
+    keep = np.asarray(comp.kvs.page_keep)[0, 0, :20]    # layer 0, 20 pages
+    assert (keep.sum(axis=1) == 4).all()
+    assert np.asarray(base.kvs.page_keep).all()
+
+    # pages themselves stay full: layer-0 K depends only on the inputs,
+    # so the two sessions' layer-0 pages are identical...
+    np.testing.assert_allclose(np.asarray(comp.kvs.block_k)[0, :, :, :20],
+                               np.asarray(base.kvs.block_k)[0, :, :, :20],
+                               rtol=1e-5, atol=1e-5)
+    # ...while deeper layers saw a compressed window -> different KV
+    assert not np.allclose(np.asarray(comp.kvs.block_k)[1, :, :, :20],
+                           np.asarray(base.kvs.block_k)[1, :, :, :20],
+                           rtol=1e-4, atol=1e-4)
+
+    # QA still runs end to end against full retrieved pages
+    ans = comp.question_answering([3, 4, 5], [3, 4, 5, 6], [0],
+                                  max_new_tokens=4)
+    assert len(ans) >= 1
+
+    # checkpoint round-trips the keep masks
+    import tempfile, os
+    from stc_tpu.utils.checkpoint import (load_session_state,
+                                          save_session_state)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.npz")
+        save_session_state(comp, p)
+        comp2 = make_sess({"window_kv_compression": "select_top_half"},
+                          seed=0)
+        load_session_state(comp2, p)
+        np.testing.assert_array_equal(np.asarray(comp2.kvs.page_keep),
+                                      np.asarray(comp.kvs.page_keep))
+        ans2 = comp2.question_answering([3, 4, 5], [3, 4, 5, 6], [0],
+                                        max_new_tokens=4)
+        assert ans2 == ans

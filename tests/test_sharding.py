@@ -105,3 +105,126 @@ def test_sharded_quantized_step_matches_single_device():
     np.testing.assert_array_equal(np.asarray(want_cur), np.asarray(got_cur))
     np.testing.assert_allclose(np.asarray(want_logits),
                                np.asarray(got_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_dp_scaling_no_cross_stream_collectives():
+    """The 'fps/chip scales linearly over dp streams' claim (bench.py 7B
+    metric): streams are independent, so the compiled encode step at
+    dp=2/tp=1 must contain NO collectives at all — zero cross-chip traffic
+    is what makes aggregate throughput scale linearly with dp.  (Wall-clock
+    scaling cannot be measured here: the 8 'devices' are virtual on one
+    host core.)"""
+    mesh = make_mesh(dp=2, tp=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    params = qw.init_params(MCFG, jax.random.key(2))
+    params_s = shard_pytree(params, qwen2_param_specs(), mesh)
+    kvs_s = shard_pytree(qw.init_stream_state(MCFG, REKV, 2, jnp.float32),
+                         stream_kv_specs(), mesh)
+    feats = jnp.zeros((2, REKV.block_size, MCFG.hidden_size), jnp.float32)
+    feats_s = jax.device_put(feats, NamedSharding(mesh, P("dp", None, None)))
+
+    def step(p, k, f):
+        _, k = qw.encode_step(p, MCFG, REKV, k, f, is_init=False)
+        return k
+
+    hlo = jax.jit(step).lower(params_s, kvs_s, feats_s).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        assert op not in hlo, f"dp-parallel encode emitted {op}"
+
+
+def test_dp2_stream_matches_two_dp1_streams():
+    """Linear-scaling correctness: a dp=2 batch produces exactly the same
+    per-stream state as two independent single-stream runs."""
+    rng = np.random.default_rng(3)
+    params = qw.init_params(MCFG, jax.random.key(3))
+    feats = rng.normal(size=(2, 3 * REKV.block_size, MCFG.hidden_size)
+                       ).astype(np.float32)
+
+    def run(batch, f):
+        kvs = qw.init_stream_state(MCFG, REKV, batch, jnp.float32)
+        for i in range(3):
+            sl = f[:, i * REKV.block_size:(i + 1) * REKV.block_size]
+            _, kvs = jax.jit(qw.encode_step, static_argnames=(
+                "cfg", "rekv", "is_init"))(params, MCFG, REKV, kvs,
+                                           jnp.asarray(sl), is_init=False)
+        return np.asarray(kvs.block_k)
+
+    mesh = make_mesh(dp=2, tp=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    params_s = shard_pytree(params, qwen2_param_specs(), mesh)
+    kvs_s = shard_pytree(qw.init_stream_state(MCFG, REKV, 2, jnp.float32),
+                         stream_kv_specs(), mesh)
+    for i in range(3):
+        sl = jax.device_put(
+            jnp.asarray(feats[:, i * REKV.block_size:(i + 1) * REKV.block_size]),
+            NamedSharding(mesh, P("dp", None, None)))
+        _, kvs_s = jax.jit(qw.encode_step, static_argnames=(
+            "cfg", "rekv", "is_init"))(params_s, MCFG, REKV, kvs_s, sl,
+                                       is_init=False)
+    got = np.asarray(kvs_s.block_k)
+    want0 = run(1, feats[:1])
+    want1 = run(1, feats[1:])
+    np.testing.assert_allclose(got[:, 0], want0[:, 0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[:, 1], want1[:, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_stream_kernel_runs_under_mesh():
+    """The paged Pallas encode kernel under a dp mesh via shard_map
+    (interpret mode on CPU; per-device local batch): must reproduce the jnp
+    backend's attention outputs.  Round-2 verdict: the kernels had never
+    executed under any mesh."""
+    from jax.sharding import PartitionSpec as P
+    import functools
+    try:
+        # check_vma/check_rep must be off: pallas_call outputs carry no
+        # varying-mesh-axes annotation
+        shard_map = functools.partial(jax.shard_map, check_vma=False)
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+        shard_map = functools.partial(shard_map, check_rep=False)
+    from stc_tpu.kvcache.engine import append_stream, init_stream_kv
+    from stc_tpu.kvcache.state import StreamKV
+
+    cfg = ReKVConfig(n_init=4, n_local=32, block_size=8, exc_block_size=8,
+                     topk=4, chunk_size=1, max_blocks=16,
+                     max_prompt_tokens=16, max_new_tokens=4)
+    HKV, D = 2, 16
+    rng = np.random.default_rng(4)
+    B = 2
+    kv = init_stream_kv(cfg, B, HKV, D, dtype=jnp.float32)
+    qi = jnp.asarray(rng.normal(size=(B, 4, cfg.n_init, D)), jnp.float32)
+    ki = jnp.asarray(rng.normal(size=(B, HKV, cfg.n_init, D)), jnp.float32)
+    vi = jnp.asarray(rng.normal(size=(B, HKV, cfg.n_init, D)), jnp.float32)
+    _, kv = append_stream(kv, qi, ki, vi, cfg, is_init=True)
+    steps = [tuple(jnp.asarray(rng.normal(size=(B, h, 8, D)), jnp.float32)
+                   for h in (4, HKV, HKV)) for _ in range(3)]
+
+    # single-device jnp reference
+    kv_ref = kv
+    outs_ref = []
+    for q, k, v in steps:
+        o, kv_ref = append_stream(kv_ref, q, k, v, cfg, is_init=False)
+        outs_ref.append(np.asarray(o))
+
+    mesh = make_mesh(dp=2, tp=1)
+    kv_spec = StreamKV(
+        init_k=P("dp"), init_v=P("dp"), block_k=P("dp"), block_v=P("dp"),
+        block_rep=P("dp"), page_keep=P("dp"), num_blocks=P("dp"),
+        page_offset=P("dp"), length=P("dp"))
+    fn = shard_map(
+        lambda kv_, q_, k_, v_: append_stream(
+            kv_, q_, k_, v_, cfg, is_init=False,
+            backend="pallas_interpret"),
+        mesh=mesh, in_specs=(kv_spec, P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), kv_spec))
+    kv_p = kv
+    for i, (q, k, v) in enumerate(steps):
+        o, kv_p = jax.jit(fn)(kv_p, q, k, v)
+        # kernel computes in bf16 (by design); same tolerance as the
+        # single-device pallas parity tests (test_stream_attention)
+        np.testing.assert_allclose(np.asarray(o), outs_ref[i], rtol=2e-2,
+                                   atol=2e-2, err_msg=f"step {i}")
+    np.testing.assert_allclose(np.asarray(kv_p.block_k),
+                               np.asarray(kv_ref.block_k), rtol=1e-5,
+                               atol=1e-5)
