@@ -56,7 +56,7 @@ CHUNK = int(os.getenv("BENCH_CHUNK_FRAMES", "8"))
 STEADY_BLOCKS = int(os.getenv("BENCH_STEADY_BLOCKS", "400"))
 
 
-def build(batch=1, seven_b=False):
+def build(batch=1, seven_b=False, kv_quant="none"):
     vision = sg.SiglipConfig(hidden_size=1152, num_layers=27, num_heads=16,
                              intermediate_size=4304, image_size=384,
                              patch_size=14)
@@ -83,7 +83,7 @@ def build(batch=1, seven_b=False):
                         exc_block_size=60 * CHUNK, topk=64, chunk_size=1,
                         max_blocks=768 if seven_b else 1024,
                         max_prompt_tokens=256,
-                        max_new_tokens=128),
+                        max_new_tokens=128, kv_quant=kv_quant),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.25,
                             cache_interval=2),
         pruner=PrunerConfig(token_per_frame=60),
@@ -187,10 +187,10 @@ def timed_passes(fn, sync, n_passes=5):
     return statistics.median(times)
 
 
-def bench_ingest(batch=1, seven_b=False):
+def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False):
     n_frames = int(os.getenv("BENCH_FRAMES", "96"))
     rng = np.random.default_rng(0)
-    sess, cfg = build(batch=batch, seven_b=seven_b)
+    sess, cfg = build(batch=batch, seven_b=seven_b, kv_quant=kv_quant)
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
 
@@ -220,12 +220,41 @@ def bench_ingest(batch=1, seven_b=False):
     # counterproductive on this 1-core host (10 fps) — so the loop stays
     # synchronous; use FramePrefetcher+stage_chunk on multi-core hosts.
 
-    def one_pass():
-        for i in range(0, n_frames, CHUNK):
-            sess.encode_video(chunk(i))
+    if staged:
+        # double-buffered ingest: a prefetch thread host-stages + device_puts
+        # the next chunk while the device runs the current one
+        # (FramePrefetcher/stage_chunk — the multi-core-host transfer path;
+        # counterproductive on 1-core hosts, see PLATFORM_NOTES.md)
+        from stc_tpu.runtime.pipeline import FramePrefetcher
+
+        def one_pass():
+            gen = (chunk(i) for i in range(0, n_frames, CHUNK))
+            for px in FramePrefetcher(gen, sess.stage_chunk, depth=2):
+                sess.encode_video(px)
+    else:
+        def one_pass():
+            for i in range(0, n_frames, CHUNK):
+                sess.encode_video(chunk(i))
 
     dt = timed_passes(one_pass, lambda: hard_sync(sess))
     return batch * n_frames / dt
+
+
+def link_probe_mbps() -> float:
+    """Measured host->device throughput of one ~16 MB transfer (median of
+    3).  Stamped into bench_report entries so transfer-bound numbers are
+    interpretable across sessions (this relay's link health varies
+    45-90 MB/s day to day — PLATFORM_NOTES.md)."""
+    buf = np.random.default_rng(0).integers(
+        0, 256, size=(16 << 20,), dtype=np.uint8)
+    f = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    float(f(buf[:1024]))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(buf))
+        ts.append(time.perf_counter() - t0)
+    return (buf.nbytes / (1 << 20)) / statistics.median(ts)
 
 
 def bench_qa(seven_b=False):
@@ -262,8 +291,8 @@ def bench_qa_host(warm=False, quant="none"):
     relay's ~50 MB/s; on a real v5e host PCIe this is ~5 ms.  quant='int8'
     benchmarks the compressed host tier (ReKVConfig.host_kv_quant): pages
     cross the link as int8+scales, halving the cold-path transfer."""
-    sess, cfg = build()
-    if quant != "none":
+    sess, cfg = build(kv_quant="int8" if quant == "kv_int8" else "none")
+    if quant == "int8":
         import dataclasses
         sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant=quant)
     sess.encode_init_prompt(list(range(14)))
@@ -276,8 +305,12 @@ def bench_qa_host(warm=False, quant="none"):
     # lands entirely in the host tier — the worst case for this path
     from stc_tpu.kvcache.host_tier import evict_pages, quantize_pages
     E = 128
-    ev_k, ev_v, sess.kvs = evict_pages(sess.kvs, E)
-    if quant == "int8":
+    ev_k, ev_v, ev_ks, ev_vs, sess.kvs = evict_pages(sess.kvs, E)
+    if quant == "kv_int8":
+        # device pages are already int8+scales (kv_quant store)
+        sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
+                               np.asarray(ev_ks), np.asarray(ev_vs))
+    elif quant == "int8":
         kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
         sess.host_store.append(np.asarray(kq), np.asarray(vq),
                                np.asarray(ks), np.asarray(vs))
@@ -352,6 +385,40 @@ def main():
             "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
                       "+ 16-token greedy decode, llava-ov-0.5b shapes, "
                       "steady-state full window)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "ingest_kvq":
+        fps = bench_ingest(kv_quant="int8")
+        print(json.dumps({
+            "metric": "streaming ingest frames/sec/chip with INT8 KV PAGES "
+                      "(page store int8+scales: half the window-read HBM "
+                      "bandwidth, 2x retrievable history at equal memory; "
+                      f"llava-ov-0.5b shapes, {CHUNK}-frame chunks, steady "
+                      "state)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+    elif mode == "multistream_staged":
+        fps = bench_ingest(batch=4, staged=True)
+        ncpu = os.cpu_count()
+        print(json.dumps({
+            "metric": "aggregate ingest fps, 4 streams, STAGED double-"
+                      "buffered transfer path (FramePrefetcher+stage_chunk; "
+                      f"host has {ncpu} core(s) — needs >=2 to overlap, on "
+                      "1-core hosts the synchronous path wins)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+    elif mode == "qa_host_kvq":
+        ms = bench_qa_host(quant="kv_int8")
+        print(json.dumps({
+            "metric": "QA latency p50 with host-tier hits, DEVICE int8 KV "
+                      "pages end to end (store+host tier int8; cold "
+                      "prefetch table), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec

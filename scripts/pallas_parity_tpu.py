@@ -6,10 +6,17 @@ actual chip (VERDICT round 1: 'Mosaic emulation != Mosaic compilation') and
 records the result as an artifact: PALLAS_PARITY_TPU.json at the repo root.
 
 Covers: empty store, pre-init-fill, post-trigger far stage, multi-page exc
-appends, page_offset > 0 (host-tier eviction), and the decode/QA-path kernel
-(ops/decode_attention.py) incl. its per-key attention-mass score variant.
+appends, page_offset > 0 (host-tier eviction), int8 KV pages (in-kernel
+dequant), 7B head geometry, and the decode/QA-path kernel
+(ops/decode_attention.py) incl. its per-key attention-mass score variant and
+expired-window masking.
+
+Gate: per-case ABSOLUTE tolerance 1e-2 at bf16 scale (round-2 verdict: the
+old 0.1*mean_abs_ref bound could hide a mildly wrong kernel; measured errors
+are 10-100x below this bound).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -23,54 +30,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from stc_tpu.config import ReKVConfig
 from stc_tpu.kvcache.engine import append_stream, init_stream_kv
 
-HQ, HKV, D = 14, 2, 64  # llava-ov-0.5b head geometry
+HQ, HKV, D = 14, 2, 64    # llava-ov-0.5b head geometry
+HEADS_7B = (28, 4, 128)   # llava-ov-7b head geometry
+TOL = 1e-2                # absolute, bf16 scale
 
 
-def run_case(name, cfg, n_appends, exc_pages=1, evict=0, seed=0):
+def run_case(name, cfg, n_appends, exc_pages=1, evict=0, seed=0,
+             heads=(HQ, HKV, D)):
+    HQ_, HKV_, D_ = heads
     rng = np.random.default_rng(seed)
-    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.bfloat16)
+    kv = init_stream_kv(cfg, 1, HKV_, D_, dtype=jnp.bfloat16)
     T0 = cfg.n_init
-    q = jnp.asarray(rng.normal(size=(1, HQ, T0, D)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(1, HKV, T0, D)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(1, HKV, T0, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(1, HQ_, T0, D_)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, HKV_, T0, D_)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, HKV_, T0, D_)), jnp.bfloat16)
     _, kv = append_stream(kv, q, k, v, cfg, is_init=True)
     T = cfg.block_size * exc_pages
     for _ in range(n_appends):
-        q = jnp.asarray(rng.normal(size=(1, HQ, T, D)), jnp.bfloat16)
-        k = jnp.asarray(rng.normal(size=(1, HKV, T, D)), jnp.bfloat16)
-        v = jnp.asarray(rng.normal(size=(1, HKV, T, D)), jnp.bfloat16)
+        q = jnp.asarray(rng.normal(size=(1, HQ_, T, D_)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, HKV_, T, D_)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, HKV_, T, D_)), jnp.bfloat16)
         _, kv = append_stream(kv, q, k, v, cfg, is_init=False)
     if evict:
         def shift(a):
             return jnp.concatenate(
                 [a[:, :, evict:], jnp.zeros_like(a[:, :, :evict])], axis=2)
-        kv = kv._replace(block_k=shift(kv.block_k), block_v=shift(kv.block_v),
-                         page_offset=kv.page_offset + evict)
-    q = jnp.asarray(rng.normal(size=(1, HQ, T, D)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(1, HKV, T, D)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(1, HKV, T, D)), jnp.bfloat16)
+        repl = dict(block_k=shift(kv.block_k), block_v=shift(kv.block_v),
+                    page_offset=kv.page_offset + evict)
+        if kv.block_k_scale.shape[2] > 0:
+            repl["block_k_scale"] = shift(kv.block_k_scale)
+            repl["block_v_scale"] = shift(kv.block_v_scale)
+        kv = kv._replace(**repl)
+    q = jnp.asarray(rng.normal(size=(1, HQ_, T, D_)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, HKV_, T, D_)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, HKV_, T, D_)), jnp.bfloat16)
     o_ref, _ = append_stream(kv, q, k, v, cfg, is_init=False, backend="jnp")
     o_pl, _ = append_stream(kv, q, k, v, cfg, is_init=False, backend="pallas")
     o_ref = np.asarray(o_ref, np.float32)
     o_pl = np.asarray(o_pl, np.float32)
     err = float(np.max(np.abs(o_ref - o_pl)))
     ref_scale = float(np.mean(np.abs(o_ref)))
-    ok = err < max(3e-2, 0.1 * ref_scale)
+    ok = err < TOL
     return {"case": name, "max_abs_err": round(err, 6),
             "mean_abs_ref": round(ref_scale, 6), "ok": ok}
 
 
-def run_decode_case(name, T, C, n_local, cursor, score=False, seed=0):
+def run_decode_case(name, T, C, n_local, cursor, score=False, seed=0,
+                    heads=(HQ, HKV, D)):
     from stc_tpu.kvcache.engine import decode_attend
     from stc_tpu.kvcache.state import DecodeKV
     from stc_tpu.ops.decode_attention import (decode_attention, decode_score,
                                               decode_score_jnp)
     rng = np.random.default_rng(seed)
+    HQ_, HKV_, D_ = heads
     dkv = DecodeKV(
-        k=jnp.asarray(rng.normal(size=(1, HKV, C, D)), jnp.bfloat16),
-        v=jnp.asarray(rng.normal(size=(1, HKV, C, D)), jnp.bfloat16),
+        k=jnp.asarray(rng.normal(size=(1, HKV_, C, D_)), jnp.bfloat16),
+        v=jnp.asarray(rng.normal(size=(1, HKV_, C, D_)), jnp.bfloat16),
         cursor=jnp.asarray([cursor], jnp.int32))
-    q = jnp.asarray(rng.normal(size=(1, HQ, T, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(1, HQ_, T, D_)), jnp.bfloat16)
     start = jnp.asarray([max(0, cursor - T)], jnp.int32)
     if score:
         _, m = decode_attention(q, dkv.k, dkv.v, start, dkv.cursor,
@@ -91,7 +108,7 @@ def run_decode_case(name, T, C, n_local, cursor, score=False, seed=0):
     o_pl = np.asarray(o_pl, np.float32)
     err = float(np.max(np.abs(o_ref - o_pl)))
     ref_scale = float(np.mean(np.abs(o_ref)))
-    ok = err < max(3e-2, 0.1 * max(ref_scale, 1e-6))
+    ok = err < (5e-2 if score else TOL)  # score rows sum |probs| over keys
     return {"case": name, "max_abs_err": round(err, 6),
             "mean_abs_ref": round(ref_scale, 6), "ok": ok}
 
@@ -114,9 +131,25 @@ def main():
                             exc_block_size=480, topk=8, chunk_size=1,
                             max_blocks=64, max_prompt_tokens=64,
                             max_new_tokens=16), 4, exc_pages=8),
+        # int8 KV pages: in-kernel dequant of the page tiles (kv_quant)
+        run_case("int8_pages_post_trigger",
+                 dataclasses.replace(cfg, kv_quant="int8"), 20,
+                 seed=7),
+        run_case("int8_pages_exc4_offset8",
+                 dataclasses.replace(cfg, kv_quant="int8"), 8,
+                 exc_pages=4, evict=8, seed=8),
+        # 7B head geometry (28 q heads / 4 kv heads / d128)
+        run_case("7b_heads_post_trigger", cfg, 12, seed=9, heads=HEADS_7B),
+        run_case("7b_heads_exc4", cfg, 5, exc_pages=4, seed=10,
+                 heads=HEADS_7B),
         run_decode_case("decode_prefill_T64", 64, 4608, 15000, 4000, seed=1),
         run_decode_case("decode_token_T1", 1, 4608, 15000, 4001, seed=2),
         run_decode_case("decode_partial_cache", 24, 640, 512, 300, seed=3),
+        # keys older than n_local must EXPIRE from the window (q deep into
+        # the cache; slots < cursor-n_local masked)
+        run_decode_case("decode_expired_window", 24, 640, 256, 500, seed=5),
+        run_decode_case("decode_7b_heads", 24, 4608, 15000, 4000, seed=6,
+                        heads=HEADS_7B),
         run_decode_case("decode_score_T24", 24, 4608, 15000, 4000,
                         score=True, seed=4),
     ]

@@ -68,6 +68,17 @@ class ReKVConfig:
     # ops/decode_attention.py; re-tune on real hardware) |
     # 'pallas_interpret' (tests)
     decode_attn_backend: str = "jnp"
+    # DEVICE-side KV page quantization: 'none' | 'int8' — the page store
+    # itself (block_k/block_v) holds int8 pages with per-(page, head, dim)
+    # fp32 scales.  Halves page-store HBM (2x retrievable history at equal
+    # memory), halves the window-read bandwidth of every encode append, and
+    # makes host-tier eviction D2H traffic int8 end to end (the host tier
+    # then stores the same int8 pages — host_kv_quant is implied).  Dequant
+    # happens at the attention/gather consumers; rep keys are built from
+    # the pre-quantization keys, so retrieval SCORING is exact and only
+    # attention values carry the ~0.4% symmetric-quantization error.
+    # The reference has no device-side equivalent (its pages are fp16).
+    kv_quant: str = "none"
     # host-tier page compression: 'none' (default; host round trips are
     # bit-exact, the two-tier QA guarantee) | 'int8' (pages cross the
     # host<->device link and sit in host RAM as int8 with per-page/dim
@@ -85,6 +96,7 @@ class ReKVConfig:
         # consumers compare == 'int8'; a typo (e.g. via STC_HOST_KV_QUANT)
         # must fail fast, not silently disable compression
         assert self.host_kv_quant in ("none", "int8"), self.host_kv_quant
+        assert self.kv_quant in ("none", "int8"), self.kv_quant
         assert self.window_kv_compression in ("none", "select_top_half"), \
             self.window_kv_compression
 
@@ -226,6 +238,7 @@ class SessionConfig:
             window_kv_compression=os.getenv(
                 "STC_WINDOW_KV_COMPRESSION", "none"),
             decode_attn_backend=os.getenv("STC_DECODE_ATTN_BACKEND", "jnp"),
+            kv_quant=os.getenv("STC_KV_QUANT", "none"),
             host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "none"),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,

@@ -60,11 +60,16 @@ def init_stream_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
         f"max_blocks={Nb} must cover the local window "
         f"({n_window_pages(cfg)} pages)")
     z = functools.partial(jnp.zeros, dtype=dtype)
+    quant = cfg.kv_quant == "int8"
+    page_dt = jnp.int8 if quant else dtype
+    n_scale = Nb if quant else 0
     return StreamKV(
         init_k=z((B, H, cfg.n_init, D)),
         init_v=z((B, H, cfg.n_init, D)),
-        block_k=z((B, H, Nb, S, D)),
-        block_v=z((B, H, Nb, S, D)),
+        block_k=jnp.zeros((B, H, Nb, S, D), page_dt),
+        block_v=jnp.zeros((B, H, Nb, S, D), page_dt),
+        block_k_scale=jnp.zeros((B, H, n_scale, D), jnp.float32),
+        block_v_scale=jnp.zeros((B, H, n_scale, D), jnp.float32),
         block_rep=z((B, cfg.rep_cap, H, D)),
         page_keep=jnp.ones((B, Nb, S), dtype=bool),
         num_blocks=jnp.zeros((B,), dtype=jnp.int32),
@@ -199,6 +204,22 @@ def make_rope_cache(length: jax.Array, num_blocks: jax.Array, T: int,
                      sin_cover, start_tile)
 
 
+def _quantize_page(x: jax.Array):
+    """(B, Hkv, n, S, D) -> (int8 pages, f32 scales (B, Hkv, n, D)).
+    Symmetric absmax over the S token rows — the host tier's scheme
+    (host_tier.quantize_pages), applied at device page-write time."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=3)
+    scale = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[:, :, :, None, :])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _dequant_pages(pages: jax.Array, scales: jax.Array, dtype) -> jax.Array:
+    """(..., n, S, D) int8 x (..., n, D) -> dtype pages."""
+    return (pages.astype(jnp.float32)
+            * scales[..., :, None, :]).astype(dtype)
+
+
 def _rot(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Apply precomputed rope tables; cos/sin broadcast against x."""
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
@@ -283,8 +304,22 @@ def append_stream(
         return jax.lax.dynamic_update_slice_in_dim(store_b, pages_b, start,
                                                    axis=1)
 
-    block_k = jax.vmap(_wr)(kv.block_k, k_pages, slot)
-    block_v = jax.vmap(_wr)(kv.block_v, v_pages, slot)
+    quant = cfg.kv_quant == "int8"
+    if quant:
+        # quantize on write: per-(page, head, dim) absmax scales over the S
+        # token rows (the host tier's scheme, on device).  The attention /
+        # gather consumers dequantize; rep keys below use the EXACT keys.
+        k_q, k_sc = _quantize_page(k_pages)
+        v_q, v_sc = _quantize_page(v_pages)
+        block_k = jax.vmap(_wr)(kv.block_k, k_q, slot)
+        block_v = jax.vmap(_wr)(kv.block_v, v_q, slot)
+        block_k_scale = jax.vmap(_wr)(kv.block_k_scale, k_sc, slot)
+        block_v_scale = jax.vmap(_wr)(kv.block_v_scale, v_sc, slot)
+    else:
+        block_k = jax.vmap(_wr)(kv.block_k, k_pages, slot)
+        block_v = jax.vmap(_wr)(kv.block_v, v_pages, slot)
+        block_k_scale = kv.block_k_scale
+        block_v_scale = kv.block_v_scale
     # one representative mean key per page (reference _append_global)
     rep = jnp.mean(k_pages.astype(jnp.float32), axis=3)     # (B, Hkv, n, D)
     rep = rep.transpose(0, 2, 1, 3).astype(kv.block_rep.dtype)
@@ -307,7 +342,9 @@ def append_stream(
     if backend.startswith("pallas"):
         # paged path: the kernel streams the window's contiguous page tiles
         # straight from the HBM store via a scalar-driven BlockSpec index map
-        # — no XLA gather, no materialized window copy
+        # — no XLA gather, no materialized window copy.  With kv_quant the
+        # tiles cross HBM->VMEM as int8 (half the window-read bandwidth)
+        # and dequantize inside the kernel.
         from stc_tpu.ops.stream_attention import stream_attention
         scalars = jnp.stack([
             kv.length,
@@ -319,6 +356,8 @@ def append_stream(
         o = stream_attention(
             q_rot, q_one, block_k, block_v, rc.cos_cover, rc.sin_cover,
             k_init_rot, kv.init_v, kv.init_k, scalars,
+            k_scales=block_k_scale if quant else None,
+            v_scales=block_v_scale if quant else None,
             T=T, n_local=cfg.n_local, n_init=cfg.n_init,
             interpret=(backend == "pallas_interpret"))
     else:
@@ -331,6 +370,11 @@ def append_stream(
 
         win_k = jax.vmap(_win)(block_k, rc.win_start)
         win_v = jax.vmap(_win)(block_v, rc.win_start)
+        if quant:
+            win_ks = jax.vmap(_win)(block_k_scale, rc.win_start)
+            win_vs = jax.vmap(_win)(block_v_scale, rc.win_start)
+            win_k = _dequant_pages(win_k, win_ks, q.dtype)
+            win_v = _dequant_pages(win_v, win_vs, q.dtype)
         k_win_rot = _rot(win_k, rc.cos_win[:, None], rc.sin_win[:, None])
         local_mask = rc.local_mask
         if compress_window:
@@ -371,6 +415,8 @@ def append_stream(
         page_keep = jax.vmap(_wr_keep)(page_keep, new_keep, slot)
 
     new_kv = kv._replace(block_k=block_k, block_v=block_v,
+                         block_k_scale=block_k_scale,
+                         block_v_scale=block_v_scale,
                          block_rep=block_rep, page_keep=page_keep,
                          num_blocks=num_blocks,
                          length=kv.length + T)
@@ -594,6 +640,12 @@ def retrieve_blocks_hosttier(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     slot_dev = jnp.clip(abs_s - kv.page_offset[:, None], 0, Nb - 1)
     gk_dev = kv.block_k[bidx, :, slot_dev]      # (B, topk, Hkv, S, D)
     gv_dev = kv.block_v[bidx, :, slot_dev]
+    if cfg.kv_quant == "int8":
+        dt = kv.init_k.dtype
+        gk_dev = _dequant_gathered(gk_dev, kv.block_k_scale, bidx, slot_dev,
+                                   dt)
+        gv_dev = _dequant_gathered(gv_dev, kv.block_v_scale, bidx, slot_dev,
+                                   dt)
     gk_host = hp_k[bidx, :, pos_s]
     gv_host = hp_v[bidx, :, pos_s]
     m = res_s[:, :, None, None, None]
@@ -604,12 +656,25 @@ def retrieve_blocks_hosttier(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     return ret_k, ret_v, tok_valid, valid_len, abs_idx, exists, missing
 
 
+def _dequant_gathered(gp, scales, bidx, slot, dtype):
+    """Dequantize gathered pages: gp (B, topk, Hkv, S, D) int8, scales
+    (B, Hkv, Nb, D) gathered at the same slots."""
+    sc = scales.transpose(0, 2, 1, 3)[bidx, slot]   # (B, topk, Hkv, D)
+    return (gp.astype(jnp.float32) * sc[:, :, :, None, :]).astype(dtype)
+
+
 def _gather_retrieved(kv: StreamKV, cfg: ReKVConfig, block_slot_safe,
                       sel_valid):
     B = block_slot_safe.shape[0]
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
     gk = kv.block_k[bidx, :, block_slot_safe]   # (B, topk, Hkv, S, D)
     gv = kv.block_v[bidx, :, block_slot_safe]
+    if cfg.kv_quant == "int8":
+        dt = kv.init_k.dtype
+        gk = _dequant_gathered(gk, kv.block_k_scale, bidx, block_slot_safe,
+                               dt)
+        gv = _dequant_gathered(gv, kv.block_v_scale, bidx, block_slot_safe,
+                               dt)
     return _pack_retrieved(kv, cfg, gk, gv, sel_valid)
 
 

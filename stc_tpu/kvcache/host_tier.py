@@ -101,25 +101,38 @@ class HostBlockStore:
 def evict_pages(kvs: StreamKV, n_evict: int):
     """Split off the oldest n_evict device pages (stacked-over-layers state).
 
-    Returns (evicted_k, evicted_v, new_kvs) — evicted arrays are
-    (L, B, Hkv, n_evict, S, D); the device store shifts left in place and
-    page_offset advances.
+    Returns (evicted_k, evicted_v, ev_k_scale, ev_v_scale, new_kvs) —
+    evicted arrays are (L, B, Hkv, n_evict, S, D); scales are None-shaped
+    (zero page axis) unless the store is int8-quantized (kv_quant), in
+    which case the evicted pages are ALREADY int8 + scales and the D2H
+    copy is half-size with no extra quantization pass.  The device store
+    shifts left in place and page_offset advances.
     """
     ev_k = kvs.block_k[:, :, :, :n_evict]
     ev_v = kvs.block_v[:, :, :, :n_evict]
+    quant = kvs.block_k_scale.shape[3] > 0
+    ev_ks = kvs.block_k_scale[:, :, :, :n_evict] if quant else None
+    ev_vs = kvs.block_v_scale[:, :, :, :n_evict] if quant else None
     shift_k = jnp.concatenate(
         [kvs.block_k[:, :, :, n_evict:], jnp.zeros_like(ev_k)], axis=3)
     shift_v = jnp.concatenate(
         [kvs.block_v[:, :, :, n_evict:], jnp.zeros_like(ev_v)], axis=3)
+    sh_ks, sh_vs = kvs.block_k_scale, kvs.block_v_scale
+    if quant:
+        sh_ks = jnp.concatenate(
+            [sh_ks[:, :, :, n_evict:], jnp.zeros_like(ev_ks)], axis=3)
+        sh_vs = jnp.concatenate(
+            [sh_vs[:, :, :, n_evict:], jnp.zeros_like(ev_vs)], axis=3)
     # keep masks shift with their pages; vacated slots reset to all-ones
     # (fresh pages must attend fully until their own compression writes)
     shift_keep = jnp.concatenate(
         [kvs.page_keep[:, :, n_evict:],
          jnp.ones_like(kvs.page_keep[:, :, :n_evict])], axis=2)
     new = kvs._replace(block_k=shift_k, block_v=shift_v,
+                       block_k_scale=sh_ks, block_v_scale=sh_vs,
                        page_keep=shift_keep,
                        page_offset=kvs.page_offset + n_evict)
-    return ev_k, ev_v, new
+    return ev_k, ev_v, ev_ks, ev_vs, new
 
 
 @jax.jit

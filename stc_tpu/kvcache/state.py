@@ -50,9 +50,15 @@ class StreamKV(NamedTuple):
 
     # append-only paged store; device slot = absolute page - page_offset
     # (page_offset > 0 once old pages were evicted to the host tier)
-    block_k: jax.Array    # (B, Hkv, max_blocks, S, D) unrotated
+    block_k: jax.Array    # (B, Hkv, max_blocks, S, D) unrotated;
+                          # int8 when ReKVConfig.kv_quant == 'int8'
     block_v: jax.Array    # (B, Hkv, max_blocks, S, D)
+    # per-(page, head, dim) fp32 dequant scales (absmax/127 over the S token
+    # rows); zero-width page axis when kv_quant == 'none'
+    block_k_scale: jax.Array  # (B, Hkv, max_blocks | 0, D) f32
+    block_v_scale: jax.Array  # (B, Hkv, max_blocks | 0, D) f32
     block_rep: jax.Array  # (B, rep_cap, Hkv, D) mean key per ABSOLUTE block
+                          # (always full precision: scoring stays exact)
     # per-page token keep mask for WINDOW attention (all-ones unless
     # ReKVConfig.window_kv_compression is on; pages stay full for retrieval
     # — reference select_top_half_kv compresses only local_k/v)

@@ -374,7 +374,7 @@ def answer_question_hosttier(params, cfg: Qwen2Config, rekv: ReKVConfig,
     Returns (tokens, count, abs_idx (L, B, topk), missing).
     """
     B = q_ids.shape[0]
-    dkvs = init_decode_state(cfg, rekv, B, kvs.block_k.dtype)
+    dkvs = init_decode_state(cfg, rekv, B, kvs.init_k.dtype)
     dkvs, abs_idx, exists, missing = qa_retrieve_hosttier_step(
         params, cfg, rekv, kvs, dkvs, embed_tokens(params, q_ids),
         n_tokens=q_len, hp_k=hp_kv[0], hp_v=hp_kv[1], hp_ids=hp_ids,
@@ -452,7 +452,7 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
     Returns (tokens (B, max_new_tokens), n_generated (B,)).
     """
     B = q_ids.shape[0]
-    dkvs = init_decode_state(cfg, rekv, B, kvs.block_k.dtype)
+    dkvs = init_decode_state(cfg, rekv, B, kvs.init_k.dtype)
     dkvs = qa_retrieve_step(params, cfg, rekv, kvs, dkvs,
                             embed_tokens(params, q_ids), n_tokens=q_len)
     logits, dkvs = decode_step(params, cfg, rekv, dkvs,
@@ -507,7 +507,7 @@ def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
         ret_k, ret_v, valid_len = compress_retrieved(
             kv_l, rekv, ret_k, ret_v, valid_len)
 
-    dkv = init_decode_kv(rekv, B, Hkv, D, dtype=kv_l.block_k.dtype)
+    dkv = init_decode_kv(rekv, B, Hkv, D, dtype=kv_l.init_k.dtype)
     dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
                        rope_base=cfg.rope_base)
     dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)

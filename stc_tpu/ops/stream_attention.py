@@ -62,11 +62,17 @@ def _rot_half(x):
 def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
             q_rot_ref, q_one_ref,           # (1, 1, G, TQ, D) query tile
             k_pages_ref, v_pages_ref,       # (1, 1, ppt, S, D) window tile
-            cos_ref, sin_ref,               # (1, TILE, D) f32
-            k_init_ref, v_init_ref, k_init_raw_ref,  # (1, 1, NI, D)
-            o_ref,                          # (1, 1, G, TQ, D)
-            m_scr, l_scr, acc_scr,          # VMEM scratch
-            *, TQ, n_local, n_init, ppt, S, n_tiles, scale):
+            *rest,                          # [k/v scale tiles if quantized,]
+                                            # cos, sin, k_init, v_init,
+                                            # k_init_raw, o_ref, scratch
+            TQ, n_local, n_init, ppt, S, n_tiles, scale, quantized=False):
+    if quantized:
+        (k_scale_ref, v_scale_ref, cos_ref, sin_ref, k_init_ref, v_init_ref,
+         k_init_raw_ref, o_ref, m_scr, l_scr, acc_scr) = rest
+    else:
+        k_scale_ref = v_scale_ref = None
+        (cos_ref, sin_ref, k_init_ref, v_init_ref, k_init_raw_ref, o_ref,
+         m_scr, l_scr, acc_scr) = rest
     b = pl.program_id(0)
     qt_idx = pl.program_id(2)               # query tile (TQ tokens x G groups)
     t_idx = pl.program_id(3)
@@ -129,13 +135,26 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
         mask = (dist >= 0) & (dist < n_local) & (page_abs < total)
 
         k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
+        if quantized:
+            # int8 page tiles: dequant in VMEM (per-page scales broadcast
+            # over the S token rows) — the HBM read was half-width
+            ks = k_scale_ref[0, 0, 0]                        # (ppt, D) f32
+            k = k * jnp.broadcast_to(ks[:, None, :],
+                                     (ppt, S, D)).reshape(tile, D)
         cos = cos_ref[0]
         sin = sin_ref[0]
         k_rot = (k * cos + _rot_half(k) * sin).astype(jnp.bfloat16)
         q = q_rot_ref[0, 0].reshape(GT, D).astype(jnp.bfloat16)
         s = jax.lax.dot_general(q, k_rot, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        v_tile = v_pages_ref[0, 0].reshape(tile, v_pages_ref.shape[-1])
+        Dv = v_pages_ref.shape[-1]
+        v_tile = v_pages_ref[0, 0].reshape(tile, Dv)
+        if quantized:
+            vs = v_scale_ref[0, 0, 0]                        # (ppt, Dv) f32
+            v_tile = (v_tile.astype(jnp.float32)
+                      * jnp.broadcast_to(vs[:, None, :],
+                                         (ppt, S, Dv)).reshape(tile, Dv)
+                      ).astype(jnp.bfloat16)
         online_update(s, mask, v_tile)
 
     # ---- epilogue on the last window tile: init stages + finalize ----
@@ -173,6 +192,7 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
     "T", "n_local", "n_init", "interpret"))
 def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
                      k_init_rot, v_init, k_init_raw, scalars,
+                     k_scales=None, v_scales=None,
                      *, T: int, n_local: int, n_init: int,
                      interpret: bool = False):
     """Fused paged encode-path attention.
@@ -180,6 +200,9 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     q_rot/q_one: (B, Hq, T, D) pre-rotated queries.
     block_k/block_v: (B, Hkv, Nb, S, D) UNROTATED append-only page store;
       the kernel streams the window's contiguous page tiles directly from it.
+      With kv_quant the store is int8 and k_scales/v_scales
+      ((B, Hkv, Nb, D) f32) ride along — page tiles cross HBM->VMEM at half
+      width and dequantize in-kernel.
     cos_cover/sin_cover: (B, Lc, D) fp32 rope tables for the page COVER
       (n_read_tiles aligned tiles starting at scalars[:,1]*ppt).
     k_init_rot/v_init/k_init_raw: (B, Hkv, n_init, D).
@@ -225,6 +248,10 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     # page store viewed as aligned tiles: (B, Hkv, NT, tile==ppt*S, D)
     k_tiled = block_k.reshape(B, Hkv, NT, tile, D)
     v_tiled = block_v.reshape(B, Hkv, NT, tile, D)
+    quantized = k_scales is not None
+    if quantized:
+        ks_tiled = k_scales.reshape(B, Hkv, NT, ppt, D)
+        vs_tiled = v_scales.reshape(B, Hkv, NT, ppt, D)
 
     def page_map(b, h, qt, t, s):
         return (b, h, jnp.minimum(s[b, 1] + t, NT - 1), 0, 0)
@@ -238,8 +265,12 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     grid = (B, Hkv, n_qt, n_tiles)
     kern = functools.partial(
         _kernel, TQ=TQ, n_local=n_local, n_init=n_init, ppt=ppt, S=S,
-        n_tiles=n_tiles, scale=1.0 / (D ** 0.5))
+        n_tiles=n_tiles, scale=1.0 / (D ** 0.5), quantized=quantized)
 
+    scale_specs = ([pl.BlockSpec((1, 1, 1, ppt, D), page_map),
+                    pl.BlockSpec((1, 1, 1, ppt, D), page_map)]
+                   if quantized else [])
+    scale_ops = (ks_tiled, vs_tiled) if quantized else ()
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -250,6 +281,7 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
                 pl.BlockSpec((1, 1, G, TQ, D), q_map),
                 pl.BlockSpec((1, 1, 1, tile, D), page_map),
                 pl.BlockSpec((1, 1, 1, tile, D), page_map),
+                *scale_specs,
                 pl.BlockSpec((1, tile, D), lambda b, h, qt, t, s: (b, t, 0)),
                 pl.BlockSpec((1, tile, D), lambda b, h, qt, t, s: (b, t, 0)),
                 pl.BlockSpec((1, 1, NI, D), bh_map),
@@ -268,7 +300,7 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary")),
         interpret=interpret,
-    )(scalars, pad_q(q_rot), pad_q(q_one), k_tiled, v_tiled,
+    )(scalars, pad_q(q_rot), pad_q(q_one), k_tiled, v_tiled, *scale_ops,
       cos_cover, sin_cover,
       pad_init(k_init_rot), pad_init(v_init), pad_init(k_init_raw))
 

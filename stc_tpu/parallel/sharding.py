@@ -103,6 +103,8 @@ def stream_kv_specs() -> StreamKV:
         init_v=P(None, "dp", "tp", None, None),
         block_k=P(None, "dp", "tp", None, None, None),
         block_v=P(None, "dp", "tp", None, None, None),
+        block_k_scale=P(None, "dp", "tp", None, None),
+        block_v_scale=P(None, "dp", "tp", None, None),
         block_rep=P(None, "dp", None, "tp", None),
         page_keep=P(None, "dp", None, None),
         num_blocks=P(None, "dp"),

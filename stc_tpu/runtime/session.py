@@ -173,8 +173,14 @@ class StreamingSession:
             E = self._evict_n
             assert E > 0 and resident - E >= self._window_pages, (
                 "max_blocks too small for host-tier eviction margins")
-            ev_k, ev_v, self.kvs = evict_pages(self.kvs, E)
-            if rc.host_kv_quant == "int8":
+            ev_k, ev_v, ev_ks, ev_vs, self.kvs = evict_pages(self.kvs, E)
+            if rc.kv_quant == "int8":
+                # device pages are already int8 + scales: the D2H copy is
+                # half-size with zero extra work (host tier stores the same
+                # representation; host_kv_quant is implied)
+                self.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
+                                       np.asarray(ev_ks), np.asarray(ev_vs))
+            elif rc.host_kv_quant == "int8":
                 # quantize ON DEVICE so the D2H copy is already half-size
                 from stc_tpu.kvcache.host_tier import quantize_pages
                 kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
@@ -371,7 +377,7 @@ class StreamingSession:
         S, Hkv, D = rc.block_size, mc.num_kv_heads, mc.head_dim
         longest = max([len(c) for c in self._hp_cols.values()] or [0])
         M = _bucket(max(longest, 1), 1 << 30)
-        dt = self.kvs.block_k.dtype
+        dt = self.kvs.init_k.dtype
         imax = np.iinfo(np.int32).max
         if self._hp_dev is None:
             kv = jnp.zeros((2, L, B, Hkv, M, S, D), dt)
@@ -506,7 +512,7 @@ class StreamingSession:
                 [int(i) for i, e in zip(abs_np[0], exists_np[0]) if e])
             use_host = exists_np & (abs_np < self._evicted_pages)
             host_k = np.zeros((B, rc.topk, Hkv, S, D),
-                              dtype=np.asarray(self.kvs.block_k).dtype)
+                              dtype=np.asarray(self.kvs.init_k).dtype)
             host_v = np.zeros_like(host_k)
             for b in range(B):
                 if use_host[b].any():

@@ -210,6 +210,7 @@ def test_pallas_stream_kernel_runs_under_mesh():
     mesh = make_mesh(dp=2, tp=1)
     kv_spec = StreamKV(
         init_k=P("dp"), init_v=P("dp"), block_k=P("dp"), block_v=P("dp"),
+        block_k_scale=P("dp"), block_v_scale=P("dp"),
         block_rep=P("dp"), page_keep=P("dp"), num_blocks=P("dp"),
         page_offset=P("dp"), length=P("dp"))
     fn = shard_map(
