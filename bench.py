@@ -21,10 +21,10 @@ single-chip 0.5B-shaped config).
 Other modes via BENCH_MODE (each still prints one JSON line):
   qa          — QA latency (retrieval + prompt prefill + 16-token greedy
                 decode), p50 over repeats
-  multistream — aggregate ingest fps with B=4 parallel streams (run with
-                BENCH_CHUNK_FRAMES=4: the 4x8-frame uint8 payload is ~14 MB
-                per dispatch, which falls off this relay's transfer fast
-                path — 17 fps agg vs 66 at 4-frame chunks)
+  multistream — aggregate ingest fps with B=4 parallel streams; the chunk
+                size is auto-tuned to the live link (the relay's
+                per-dispatch payload cliff moves between sessions — see
+                autotune_multistream), BENCH_CHUNK_FRAMES pins it
   7b          — ingest fps at LLaVA-OV-7B shapes (single chip, int8 weights)
 scripts/bench_all.py runs every mode and writes bench_report.json.
 
@@ -240,6 +240,29 @@ def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False):
     return batch * n_frames / dt
 
 
+def autotune_multistream(staged=False):
+    """Multistream fps with the chunk size picked AT RUN TIME.
+
+    The relay's per-dispatch payload cliff moves between sessions (a 7 MB
+    B4C4 dispatch rode the fast path in round 2 at 66 fps agg, and measured
+    22 fps in round 3 — while B4C2's 3.5 MB payload held 52 fps in both).
+    A deployment tunes its transfer chunk to the link it actually has, so
+    the bench does the same: probe the candidate chunk sizes and report the
+    best, labelled with the choice.  BENCH_CHUNK_FRAMES pins a single size
+    (no probing) for controlled sweeps.
+    """
+    if os.getenv("BENCH_CHUNK_FRAMES") is not None:
+        return bench_ingest(batch=4, staged=staged), f"{CHUNK}-frame chunks"
+    results = {}
+    for c in (2, 4):
+        globals()["CHUNK"] = c
+        results[c] = bench_ingest(batch=4, staged=staged)
+    best = max(results, key=results.get)
+    probed = ", ".join(f"C{c}={results[c]:.1f}" for c in sorted(results))
+    return results[best], (f"{best}-frame chunks auto-tuned to the live "
+                           f"link (probed {probed} fps)")
+
+
 def link_probe_mbps() -> float:
     """Measured host->device throughput of one ~16 MB transfer (median of
     3).  Stamped into bench_report entries so transfer-bound numbers are
@@ -347,11 +370,11 @@ def main():
             "vs_baseline": round(fps / 60.0, 3),
         }))
     elif mode == "multistream":
-        fps = bench_ingest(batch=4)
+        fps, label = autotune_multistream()
         print(json.dumps({
             "metric": "aggregate streaming ingest frames/sec/chip "
                       "(4 parallel streams, llava-ov-0.5b shapes, STC "
-                      f"cacher+pruner, {CHUNK}-frame chunks, steady state)",
+                      f"cacher+pruner, {label}, steady state)",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
@@ -402,11 +425,12 @@ def main():
             "vs_baseline": round(fps / 60.0, 3),
         }))
     elif mode == "multistream_staged":
-        fps = bench_ingest(batch=4, staged=True)
+        fps, label = autotune_multistream(staged=True)
         ncpu = os.cpu_count()
         print(json.dumps({
-            "metric": "aggregate ingest fps, 4 streams, STAGED double-"
-                      "buffered transfer path (FramePrefetcher+stage_chunk; "
+            "metric": f"aggregate ingest fps, 4 streams, {label}, STAGED "
+                      "double-buffered transfer path "
+                      "(FramePrefetcher+stage_chunk; "
                       f"host has {ncpu} core(s) — needs >=2 to overlap, on "
                       "1-core hosts the synchronous path wins)",
             "value": round(fps, 2),

@@ -13,6 +13,17 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Modes whose cost is dominated by host->device transfer on this relay.
+# Same code + settings swing +-30% with relay state (ingest measured 61.4
+# and 79.5 fps twenty minutes apart at the same probed MB/s) — the bulk-MB/s
+# probe does not capture per-dispatch latency degradation.  Compute-bound
+# modes (qa, qa_host_warm, 7b, qa_7b) are stable across sessions.
+TRANSFER_BOUND_NOTE = (
+    "transfer-dominated on this relay host: +-30% session variance at equal "
+    "probed MB/s (see PLATFORM_NOTES.md); compute-bound modes are stable")
+TRANSFER_BOUND = {"ingest", "ingest_kvq", "multistream", "multistream_staged",
+                  "qa_host", "qa_host_int8", "qa_host_kvq"}
+
 MODES = [
     ("ingest", {}),
     ("ingest_kvq", {}),
@@ -21,11 +32,11 @@ MODES = [
     ("qa_host_int8", {}),
     ("qa_host_kvq", {}),
     ("qa_host_warm", {}),
-    # 4 streams x 8 frames = a 14 MB per-dispatch pixel payload, which falls
-    # off this relay's transfer fast path (measured 17 fps agg vs 66 at
-    # 4-frame chunks); per-chunk payloads should stay <= ~7 MB
-    ("multistream", {"BENCH_CHUNK_FRAMES": "4"}),
-    ("multistream_staged", {"BENCH_CHUNK_FRAMES": "4"}),
+    # chunk size is auto-tuned per run (bench.autotune_multistream): the
+    # relay's per-dispatch payload cliff moves between sessions, so the
+    # bench probes C2/C4 and reports the best, labelled with the choice
+    ("multistream", {}),
+    ("multistream_staged", {}),
     ("7b", {"BENCH_FRAMES": "48"}),
     ("qa_7b", {}),
 ]
@@ -36,34 +47,50 @@ def probe_link() -> float:
     as the bench runs)."""
     code = ("import bench, json; "
             "print(json.dumps({'mbps': round(bench.link_probe_mbps(), 1)}))")
-    r = subprocess.run([sys.executable, "-c", code], cwd=ROOT,
-                       capture_output=True, text=True, timeout=600)
     try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=ROOT,
+                           capture_output=True, text=True, timeout=1500)
         return json.loads(r.stdout.strip().splitlines()[-1])["mbps"]
     except Exception:
-        return -1.0
+        return -1.0  # probe unavailable; -1 marks unknown link state
 
 
 def main():
+    out_path = os.path.join(ROOT, "bench_report.json")
+    # resumable: `bench_all.py qa qa_host` reruns only those modes, merging
+    # into the existing report (per-mode first compiles can take 10-30 min
+    # on a degraded relay; a crash/timeout must not discard finished modes)
+    only = set(sys.argv[1:])
+    report = {}
+    if os.path.exists(out_path) and only:
+        with open(out_path) as f:
+            report = json.load(f)
     link = probe_link()
     print("link health:", link, "MB/s")
-    report = {"link_health_mbps": link}
+    report["link_health_mbps"] = link
     for mode, extra in MODES:
+        if only and mode not in only:
+            continue
         env = {**os.environ, "BENCH_MODE": mode, **extra}
-        r = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
-                           env=env, capture_output=True, text=True,
-                           timeout=1800)
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=2700)
+            line = (r.stdout.strip().splitlines()[-1]
+                    if r.stdout.strip() else "")
             report[mode] = json.loads(line)
             # transfer-bound numbers are only interpretable with the link
             # state they were measured under
             report[mode]["link_health_mbps"] = link
+            if mode in TRANSFER_BOUND:
+                report[mode]["note"] = TRANSFER_BOUND_NOTE
+        except subprocess.TimeoutExpired:
+            report[mode] = {"error": "timeout (45 min)"}
         except json.JSONDecodeError:
             report[mode] = {"error": r.stderr.strip()[-500:]}
-        print(mode, "->", report[mode])
-    with open(os.path.join(ROOT, "bench_report.json"), "w") as f:
-        json.dump(report, f, indent=1)
+        print(mode, "->", report[mode], flush=True)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)  # incremental: crash-resumable
 
 
 if __name__ == "__main__":
