@@ -56,7 +56,8 @@ CHUNK = int(os.getenv("BENCH_CHUNK_FRAMES", "8"))
 STEADY_BLOCKS = int(os.getenv("BENCH_STEADY_BLOCKS", "400"))
 
 
-def build(batch=1, seven_b=False, kv_quant="none"):
+def build(batch=1, seven_b=False, kv_quant="none", chunk=None):
+    chunk = CHUNK if chunk is None else chunk
     vision = sg.SiglipConfig(hidden_size=1152, num_layers=27, num_heads=16,
                              intermediate_size=4304, image_size=384,
                              patch_size=14)
@@ -80,14 +81,14 @@ def build(batch=1, seven_b=False, kv_quant="none"):
     # 768 pages cover warmup + the timed passes without host eviction)
     scfg = SessionConfig(
         rekv=ReKVConfig(n_init=14, n_local=15000, block_size=60,
-                        exc_block_size=60 * CHUNK, topk=64, chunk_size=1,
+                        exc_block_size=60 * chunk, topk=64, chunk_size=1,
                         max_blocks=768 if seven_b else 1024,
                         max_prompt_tokens=256,
                         max_new_tokens=128, kv_quant=kv_quant),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.25,
                             cache_interval=2),
         pruner=PrunerConfig(token_per_frame=60),
-        encode_chunk_frames=CHUNK,
+        encode_chunk_frames=chunk,
     )
     if seven_b:
         scfg = SessionConfig(rekv=scfg.rekv, cacher=scfg.cacher,
@@ -187,29 +188,32 @@ def timed_passes(fn, sync, n_passes=5):
     return statistics.median(times)
 
 
-def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False):
+def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False,
+                 chunk_frames=None):
+    C = CHUNK if chunk_frames is None else chunk_frames
     n_frames = int(os.getenv("BENCH_FRAMES", "96"))
     rng = np.random.default_rng(0)
-    sess, cfg = build(batch=batch, seven_b=seven_b, kv_quant=kv_quant)
+    sess, cfg = build(batch=batch, seven_b=seven_b, kv_quant=kv_quant,
+                      chunk=C)
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
 
-    pool = CHUNK + 4  # frame pool; slices rotate so chunks are not identical
+    pool = C + 4  # frame pool; slices rotate so chunks are not identical
     if batch == 1:
         frames = rng.integers(0, 256, size=(pool, 384, 384, 3),
                               dtype=np.uint8)
 
         def chunk(i):
-            return frames[i % 4: i % 4 + CHUNK]
+            return frames[i % 4: i % 4 + C]
     else:
         frames = rng.integers(0, 256, size=(batch, pool, 384, 384, 3),
                               dtype=np.uint8)
 
         def chunk(i):
-            return frames[:, i % 4: i % 4 + CHUNK]
+            return frames[:, i % 4: i % 4 + C]
 
     # warmup compiles both chunk paths (full + cacher) at the steady bucket
-    for i in range(0, 6 * CHUNK, CHUNK):
+    for i in range(0, 6 * C, C):
         sess.encode_video(chunk(i))
     hard_sync(sess)
 
@@ -228,12 +232,12 @@ def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False):
         from stc_tpu.runtime.pipeline import FramePrefetcher
 
         def one_pass():
-            gen = (chunk(i) for i in range(0, n_frames, CHUNK))
+            gen = (chunk(i) for i in range(0, n_frames, C))
             for px in FramePrefetcher(gen, sess.stage_chunk, depth=2):
                 sess.encode_video(px)
     else:
         def one_pass():
-            for i in range(0, n_frames, CHUNK):
+            for i in range(0, n_frames, C):
                 sess.encode_video(chunk(i))
 
     dt = timed_passes(one_pass, lambda: hard_sync(sess))
@@ -255,8 +259,7 @@ def autotune_multistream(staged=False):
         return bench_ingest(batch=4, staged=staged), f"{CHUNK}-frame chunks"
     results = {}
     for c in (2, 4):
-        globals()["CHUNK"] = c
-        results[c] = bench_ingest(batch=4, staged=staged)
+        results[c] = bench_ingest(batch=4, staged=staged, chunk_frames=c)
     best = max(results, key=results.get)
     probed = ", ".join(f"C{c}={results[c]:.1f}" for c in sorted(results))
     return results[best], (f"{best}-frame chunks auto-tuned to the live "
@@ -271,7 +274,8 @@ def link_probe_mbps() -> float:
     buf = np.random.default_rng(0).integers(
         0, 256, size=(16 << 20,), dtype=np.uint8)
     f = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
-    float(f(buf[:1024]))  # compile
+    float(f(buf))  # compile AT THE TIMED SHAPE (a different shape would
+    #                recompile inside the first timed sample)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -61,6 +61,11 @@ def main():
     # into the existing report (per-mode first compiles can take 10-30 min
     # on a degraded relay; a crash/timeout must not discard finished modes)
     only = set(sys.argv[1:])
+    known = {m for m, _ in MODES}
+    unknown = only - known
+    if unknown:
+        sys.exit(f"unknown mode(s) {sorted(unknown)}; choose from "
+                 f"{sorted(known)}")
     report = {}
     if os.path.exists(out_path) and only:
         with open(out_path) as f:

@@ -59,19 +59,29 @@ def _split_video_cv2(video_path: str, start_s: int, end_s: int, out: str):
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     wr = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not wr.isOpened():
+        cap.release()
+        raise IOError(f"cv2.VideoWriter cannot open: {out}")
     first, last = int(start_s * fps), int(end_s * fps)
-    i = 0
+    i = written = 0
     while True:
         ok, frame = cap.read()
         if not ok or i >= last:
             break
         if i >= first:
             wr.write(frame)
+            written += 1
         i += 1
     cap.release()
     wr.release()
-    if not os.path.exists(out):
-        raise IOError(f"clip write failed: {out}")
+    # a failed/empty write must not poison split_video's exists-based cache:
+    # remove the header-only file before raising
+    if written == 0 or not os.path.exists(out):
+        if os.path.exists(out):
+            os.remove(out)
+        raise IOError(
+            f"clip write produced no frames: {out} "
+            f"(range [{start_s},{end_s})s at {fps} fps)")
 
 
 class StreamingBenchEval:

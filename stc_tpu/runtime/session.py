@@ -76,8 +76,9 @@ class StreamingSession:
         self.attn_backend = _resolve_backend(
             os.environ.get("STC_ATTN_BACKEND", "auto"))
         if rc.window_kv_compression != "none" and \
-                self.attn_backend == "pallas":
-            # the paged Pallas kernel does not read page keep masks
+                self.attn_backend.startswith("pallas"):
+            # the paged Pallas kernel (compiled OR interpret) does not read
+            # page keep masks
             self.attn_backend = "jnp"
         self._encode_init = jax.jit(functools.partial(
             qw.encode_step, cfg=mc, rekv=rc, is_init=True),

@@ -189,6 +189,16 @@ def test_window_kv_compression_engine_matches_library():
     np.testing.assert_array_equal(keep, want)
 
 
+def test_window_kv_compression_backend_fallback(monkeypatch):
+    """Both pallas backends (compiled AND interpret) must downgrade to jnp
+    when window compression is on — the paged kernel does not read page
+    keep masks, and the engine asserts on the combination."""
+    for backend in ("pallas", "pallas_interpret"):
+        monkeypatch.setenv("STC_ATTN_BACKEND", backend)
+        sess = make_sess({"window_kv_compression": "select_top_half"})
+        assert sess.attn_backend == "jnp", (backend, sess.attn_backend)
+
+
 def test_window_kv_compression_session_ablation():
     """Session-level knob: compressed-window sessions attend fewer window
     tokens (outputs diverge from the base session after the first
