@@ -199,10 +199,24 @@ class SessionConfig:
     # LM weight storage: 'none' (input dtype) | 'int8' (per-output-channel
     # weight-only quantization, models/qwen2.py quantize_params_int8 —
     # halves the weights-read floor and fits full-depth 7B on a 16 GB chip)
+    # | 'int8_g<N>' (sub-channel: per-group-of-N-input-rows scales — bounds
+    # the blast radius of outlier input channels, recovering most of the
+    # int8 logit drift at ~1/N extra scale bytes; N must divide every
+    # contraction dim, 128 divides all llava-ov shapes)
     weights_quant: str = "none"
 
     def __post_init__(self):
-        assert self.weights_quant in ("none", "int8"), self.weights_quant
+        assert (self.weights_quant in ("none", "int8")
+                or (self.weights_quant.startswith("int8_g")
+                    and self.weights_quant[6:].isdigit()
+                    and int(self.weights_quant[6:]) > 0)), self.weights_quant
+
+    @property
+    def weights_quant_group(self) -> int:
+        """Sub-channel group size (input rows per scale); 0 = per-channel."""
+        if self.weights_quant.startswith("int8_g"):
+            return int(self.weights_quant[6:])
+        return 0
 
     @classmethod
     def from_env(cls) -> "SessionConfig":

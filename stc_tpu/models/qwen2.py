@@ -124,7 +124,22 @@ def _mm(h, lp, name):
     quantize_params_int8 stores `<name>_q` (int8) + `<name>_s` (per-output
     -channel f32 scales); the int8->bf16 convert fuses into the matmul's
     operand read on TPU, so HBM traffic is the int8 bytes, and the scale is
-    one row-vector multiply on the output."""
+    one row-vector multiply on the output.
+
+    Sub-channel variant: `<name>_gs` ((..., in/G, out) f32) scales groups of
+    G input rows.  The scale varies along the contraction dim, so it cannot
+    move past the matmul — instead the dequant (convert + per-group row
+    scale) fuses into the weight-operand read; HBM traffic stays the int8
+    bytes + the small scale tensor, and the MXU still runs a single bf16
+    matmul."""
+    if name + "_gs" in lp:
+        w, s = lp[name + "_q"], lp[name + "_gs"]
+        Gn = s.shape[-2]
+        shp = w.shape
+        wi = w.reshape(shp[:-2] + (Gn, shp[-2] // Gn, shp[-1]))
+        wd = (wi.astype(jnp.float32)
+              * s[..., :, None, :]).astype(h.dtype).reshape(shp)
+        return h @ wd
     if name + "_q" in lp:
         w = lp[name + "_q"]
         out = h @ w.astype(h.dtype)
@@ -166,7 +181,7 @@ def param_dtype(params):
     return params["norm_f"].dtype
 
 
-def quantize_params_int8(params):
+def quantize_params_int8(params, group_size: int = 0):
     """Weight-only int8 quantization: per-output-channel symmetric scales.
 
     Halves the LM's HBM footprint and weights-read floor vs bf16 (full-depth
@@ -177,9 +192,18 @@ def quantize_params_int8(params):
     Expects fused params (fuse_params); norms, biases, and the small
     projector stay in the input dtype.  Idempotent.
 
-    Multi-chip: parallel/sharding.py maps the quantized names (*_q/*_s) to
-    the same tp PartitionSpecs as their bf16 counterparts; sharded quantized
-    serving is exercised by tests/test_sharding.py.
+    group_size > 0 switches to SUB-CHANNEL scales: one f32 scale per
+    (group of group_size input rows, output channel), stored as
+    `<name>_gs` (..., in/G, out).  An outlier input channel then only
+    coarsens the quantization grid of its own group instead of the whole
+    column, recovering most of the per-channel logit drift for ~1/G extra
+    scale bytes (G=128 divides every llava-ov contraction dim).  Dequant
+    fuses into the weight-operand read (see _mm).
+
+    Multi-chip: parallel/sharding.py maps the quantized names
+    (*_q/*_s/*_gs) to the same tp PartitionSpecs as their bf16
+    counterparts; sharded quantized serving is exercised by
+    tests/test_sharding.py.
     """
     def q(w):
         # w: (..., in, out) -> int8 (..., in, out) + f32 scales (..., out)
@@ -188,12 +212,25 @@ def quantize_params_int8(params):
         wq = jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8)
         return wq, s.squeeze(-2)
 
+    def qg(w):
+        # w: (..., in, out) -> int8 + f32 scales (..., in/G, out)
+        shp = w.shape
+        assert shp[-2] % group_size == 0, (shp, group_size)
+        wi = w.astype(jnp.float32).reshape(
+            shp[:-2] + (shp[-2] // group_size, group_size, shp[-1]))
+        a = jnp.max(jnp.abs(wi), axis=-2, keepdims=True)
+        s = jnp.maximum(a, 1e-8) / 127.0
+        wq = jnp.round(wi / s).astype(jnp.int8).reshape(shp)
+        return wq, s.squeeze(-2)
+
     lp = dict(params["layers"])
     assert "wqkv" in lp or "wqkv_q" in lp, "quantize after fuse_params"
     if "wqkv_q" in lp:
         return params
+    proj = qg if group_size else q
+    skey = "_gs" if group_size else "_s"
     for name in ("wqkv", "wo", "w_gateup", "w_down"):
-        lp[name + "_q"], lp[name + "_s"] = q(lp[name])
+        lp[name + "_q"], lp[name + skey] = proj(lp[name])
         del lp[name]
     new = {**params, "layers": lp}
     # embedding rows: per-row scales, dequant after the gather
@@ -202,7 +239,7 @@ def quantize_params_int8(params):
     new["embed_q"] = jnp.round(e / (a / 127.0)).astype(jnp.int8)
     new["embed_s"] = (a[:, 0] / 127.0)
     del new["embed"]
-    new["lm_head_q"], new["lm_head_s"] = q(params["lm_head"])
+    new["lm_head_q"], new["lm_head" + skey] = proj(params["lm_head"])
     del new["lm_head"]
     return new
 
@@ -436,6 +473,12 @@ def embed_tokens(params, ids: jax.Array) -> jax.Array:
 
 
 def _lm_head(params, h: jax.Array) -> jax.Array:
+    if "lm_head_gs" in params:
+        w, s = params["lm_head_q"], params["lm_head_gs"]
+        Gn, (E, V) = s.shape[0], w.shape
+        wd = (w.reshape(Gn, E // Gn, V).astype(jnp.float32)
+              * s[:, None, :]).astype(h.dtype).reshape(E, V)
+        return h @ wd
     if "lm_head_q" in params:
         out = h @ params["lm_head_q"].astype(h.dtype)
         return out * params["lm_head_s"].astype(h.dtype)

@@ -33,13 +33,21 @@ _LAYER_SPECS = {
     "wo_q": P(None, "tp", None), "wo_s": P(),
     "w_gateup_q": P(None, None, "tp"), "w_gateup_s": P(None, "tp"),
     "w_down_q": P(None, "tp", None), "w_down_s": P(),
+    # sub-channel scales (weights_quant='int8_gN'): (L, in/G, out) — the
+    # group axis tracks the weight's INPUT axis, so it shards wherever the
+    # input axis does (row-parallel wo/w_down); per-shard group counts stay
+    # integral because G divides each tp shard of the contraction dim.
+    "wqkv_gs": P(None, None, "tp"),
+    "wo_gs": P(None, "tp", None),
+    "w_gateup_gs": P(None, None, "tp"),
+    "w_down_gs": P(None, "tp", None),
 }
 
 _TOP_SPECS = {
     "embed": P(), "embed_q": P(), "embed_s": P(),
     "norm_f": P(),
     "lm_head": P(None, "tp"), "lm_head_q": P(None, "tp"),
-    "lm_head_s": P("tp"),
+    "lm_head_s": P("tp"), "lm_head_gs": P(None, "tp"),
 }
 
 

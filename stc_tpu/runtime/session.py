@@ -54,8 +54,9 @@ class StreamingSession:
         frame_encoder: Optional[Callable] = None,
     ):
         self.params = qw.fuse_params(params)
-        if session_cfg.weights_quant == "int8":
-            self.params = qw.quantize_params_int8(self.params)
+        if session_cfg.weights_quant != "none":
+            self.params = qw.quantize_params_int8(
+                self.params, group_size=session_cfg.weights_quant_group)
         self.mcfg = model_cfg
         self.scfg = session_cfg
         self.rekv = session_cfg.rekv

@@ -114,8 +114,9 @@ class VLMSession(StreamingSession):
                  vision: VisionPipeline, state_dtype=jnp.bfloat16,
                  batch: int = 1):
         text = qw.fuse_params(params["text"])
-        if scfg.weights_quant == "int8":
-            text = qw.quantize_params_int8(text)
+        if scfg.weights_quant != "none":
+            text = qw.quantize_params_int8(
+                text, group_size=scfg.weights_quant_group)
         params = {**params, "text": text}
         self._all_params = params
         self.vision = vision

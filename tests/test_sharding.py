@@ -71,12 +71,16 @@ def test_sharded_step_matches_single_device():
                                np.asarray(got_logits), rtol=2e-4, atol=2e-4)
 
 
-def test_sharded_quantized_step_matches_single_device():
-    """int8-quantized params shard over the same dp x tp mesh (specs keyed
-    to the quantized names) and reproduce the single-device computation."""
+@pytest.mark.parametrize("group", [0, 16])
+def test_sharded_quantized_step_matches_single_device(group):
+    """int8-quantized params (per-channel and sub-channel group=16) shard
+    over the same dp x tp mesh (specs keyed to the quantized names) and
+    reproduce the single-device computation.  G=16 divides each tp shard of
+    the contraction dims (64/4=16, 128/4=32), so per-shard group counts
+    stay integral."""
     rng = np.random.default_rng(1)
     params = qw.quantize_params_int8(qw.fuse_params(
-        qw.init_params(MCFG, jax.random.key(1))))
+        qw.init_params(MCFG, jax.random.key(1))), group_size=group)
     kvs = qw.init_stream_state(MCFG, REKV, B, jnp.float32)
     ids = rng.integers(0, MCFG.vocab_size, size=(B, REKV.n_init))
     _, kvs = qw.encode_step(params, MCFG, REKV, kvs,
