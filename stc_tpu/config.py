@@ -68,15 +68,21 @@ class ReKVConfig:
     # ops/decode_attention.py; re-tune on real hardware) |
     # 'pallas_interpret' (tests)
     decode_attn_backend: str = "jnp"
-    # DEVICE-side KV page quantization: 'none' | 'int8' — the page store
-    # itself (block_k/block_v) holds int8 pages with per-(page, head, dim)
-    # fp32 scales.  Halves page-store HBM (2x retrievable history at equal
-    # memory), halves the window-read bandwidth of every encode append, and
-    # makes host-tier eviction D2H traffic int8 end to end (the host tier
-    # then stores the same int8 pages — host_kv_quant is implied).  Dequant
-    # happens at the attention/gather consumers; rep keys are built from
-    # the pre-quantization keys, so retrieval SCORING is exact and only
-    # attention values carry the ~0.4% symmetric-quantization error.
+    # DEVICE-side KV page quantization: 'none' | 'int8' | 'int4' — the page
+    # store itself (block_k/block_v) holds quantized pages with
+    # per-(page, head, dim) fp32 scales.  int8: halves page-store HBM (2x
+    # retrievable history at equal memory), halves the window-read bandwidth
+    # of every encode append (dequant IN-KERNEL in the paged Pallas kernel),
+    # and makes host-tier eviction D2H traffic int8 end to end (the host
+    # tier then stores the same pages — host_kv_quant is implied).  int4:
+    # packed two-nibbles-per-byte pages — QUARTER the page bytes (4x
+    # retrievable history at equal HBM, quarter-size eviction/refetch
+    # traffic) at coarser 15-level quantization; encode attention uses the
+    # jnp backend (the Pallas kernel dequantizes int8 tiles, not nibbles) —
+    # a capacity lever, where int8 is the bandwidth+capacity lever.  Either
+    # way rep keys are built from the pre-quantization keys, so retrieval
+    # SCORING is exact and only attention values carry the quantization
+    # error (~0.4% int8, ~7% int4 worst-case per value).
     # The reference has no device-side equivalent (its pages are fp16).
     kv_quant: str = "none"
     # host-tier page compression: 'none' (default; host round trips are
@@ -96,7 +102,7 @@ class ReKVConfig:
         # consumers compare == 'int8'; a typo (e.g. via STC_HOST_KV_QUANT)
         # must fail fast, not silently disable compression
         assert self.host_kv_quant in ("none", "int8"), self.host_kv_quant
-        assert self.kv_quant in ("none", "int8"), self.kv_quant
+        assert self.kv_quant in ("none", "int8", "int4"), self.kv_quant
         assert self.window_kv_compression in ("none", "select_top_half"), \
             self.window_kv_compression
 

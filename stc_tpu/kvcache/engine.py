@@ -60,14 +60,20 @@ def init_stream_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
         f"max_blocks={Nb} must cover the local window "
         f"({n_window_pages(cfg)} pages)")
     z = functools.partial(jnp.zeros, dtype=dtype)
-    quant = cfg.kv_quant == "int8"
-    page_dt = jnp.int8 if quant else dtype
+    quant = cfg.kv_quant != "none"
+    if cfg.kv_quant == "int4":
+        assert D % 2 == 0, D
+        page_dt, Dp = jnp.uint8, D // 2   # two nibbles per byte
+    elif cfg.kv_quant == "int8":
+        page_dt, Dp = jnp.int8, D
+    else:
+        page_dt, Dp = dtype, D
     n_scale = Nb if quant else 0
     return StreamKV(
         init_k=z((B, H, cfg.n_init, D)),
         init_v=z((B, H, cfg.n_init, D)),
-        block_k=jnp.zeros((B, H, Nb, S, D), page_dt),
-        block_v=jnp.zeros((B, H, Nb, S, D), page_dt),
+        block_k=jnp.zeros((B, H, Nb, S, Dp), page_dt),
+        block_v=jnp.zeros((B, H, Nb, S, Dp), page_dt),
         block_k_scale=jnp.zeros((B, H, n_scale, D), jnp.float32),
         block_v_scale=jnp.zeros((B, H, n_scale, D), jnp.float32),
         block_rep=z((B, cfg.rep_cap, H, D)),
@@ -214,8 +220,37 @@ def _quantize_page(x: jax.Array):
     return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
+def _quantize_page_int4(x: jax.Array):
+    """(B, Hkv, n, S, D) -> (uint8 packed nibbles (..., S, D//2), f32 scales
+    (B, Hkv, n, D)).  Symmetric absmax over the S token rows onto [-7, 7];
+    byte j packs dims (2j, 2j+1) as (low, high) two's-complement nibbles."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=3)
+    scale = jnp.maximum(a, 1e-8) / 7.0
+    q = jnp.round(x.astype(jnp.float32) / scale[:, :, :, None, :])
+    q = jnp.clip(q, -7, 7).astype(jnp.int8)
+    return _pack_int4(q), scale
+
+
+def _pack_int4(q: jax.Array) -> jax.Array:
+    """int8 nibble values (..., D) in [-8, 7] -> uint8 packed (..., D//2)."""
+    u = q.astype(jnp.uint8)  # two's complement
+    return (u[..., 0::2] & 0x0F) | (u[..., 1::2] << 4)
+
+
+def _unpack_int4(p: jax.Array) -> jax.Array:
+    """uint8 packed (..., Dp) -> f32 nibble values (..., 2*Dp)."""
+    lo = (p & 0x0F).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        p.shape[:-1] + (2 * p.shape[-1],)).astype(jnp.float32)
+
+
 def _dequant_pages(pages: jax.Array, scales: jax.Array, dtype) -> jax.Array:
-    """(..., n, S, D) int8 x (..., n, D) -> dtype pages."""
+    """(..., n, S, D or D//2-packed) int8/uint8 x (..., n, D) -> dtype."""
+    if pages.dtype == jnp.uint8:
+        pages = _unpack_int4(pages)
     return (pages.astype(jnp.float32)
             * scales[..., :, None, :]).astype(dtype)
 
@@ -284,6 +319,10 @@ def append_stream(
     assert not (compress_window and backend.startswith("pallas")), (
         "window_kv_compression needs the jnp encode backend (the paged "
         "Pallas kernel does not read page keep masks)")
+    assert not (cfg.kv_quant == "int4" and backend.startswith("pallas")), (
+        "kv_quant='int4' needs the jnp encode backend (the paged Pallas "
+        "kernel dequantizes int8 tiles, not packed nibbles); the session "
+        "resolves this automatically")
     rc = rope_cache if rope_cache is not None else make_rope_cache(
         kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages,
         page_offset=kv.page_offset)
@@ -304,13 +343,16 @@ def append_stream(
         return jax.lax.dynamic_update_slice_in_dim(store_b, pages_b, start,
                                                    axis=1)
 
-    quant = cfg.kv_quant == "int8"
+    quant = cfg.kv_quant != "none"
     if quant:
         # quantize on write: per-(page, head, dim) absmax scales over the S
         # token rows (the host tier's scheme, on device).  The attention /
         # gather consumers dequantize; rep keys below use the EXACT keys.
-        k_q, k_sc = _quantize_page(k_pages)
-        v_q, v_sc = _quantize_page(v_pages)
+        # int4 packs two nibbles per byte (quarter the page bytes; 4x the
+        # retrievable history at equal HBM; jnp backend only).
+        qfn = _quantize_page_int4 if cfg.kv_quant == "int4" else _quantize_page
+        k_q, k_sc = qfn(k_pages)
+        v_q, v_sc = qfn(v_pages)
         block_k = jax.vmap(_wr)(kv.block_k, k_q, slot)
         block_v = jax.vmap(_wr)(kv.block_v, v_q, slot)
         block_k_scale = jax.vmap(_wr)(kv.block_k_scale, k_sc, slot)
@@ -640,7 +682,7 @@ def retrieve_blocks_hosttier(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
     slot_dev = jnp.clip(abs_s - kv.page_offset[:, None], 0, Nb - 1)
     gk_dev = kv.block_k[bidx, :, slot_dev]      # (B, topk, Hkv, S, D)
     gv_dev = kv.block_v[bidx, :, slot_dev]
-    if cfg.kv_quant == "int8":
+    if cfg.kv_quant != "none":
         dt = kv.init_k.dtype
         gk_dev = _dequant_gathered(gk_dev, kv.block_k_scale, bidx, slot_dev,
                                    dt)
@@ -657,8 +699,11 @@ def retrieve_blocks_hosttier(kv: StreamKV, q: jax.Array, cfg: ReKVConfig,
 
 
 def _dequant_gathered(gp, scales, bidx, slot, dtype):
-    """Dequantize gathered pages: gp (B, topk, Hkv, S, D) int8, scales
-    (B, Hkv, Nb, D) gathered at the same slots."""
+    """Dequantize gathered pages: gp (B, topk, Hkv, S, D) int8 (or packed
+    int4 uint8 with D//2 bytes), scales (B, Hkv, Nb, D) gathered at the
+    same slots."""
+    if gp.dtype == jnp.uint8:
+        gp = _unpack_int4(gp)
     sc = scales.transpose(0, 2, 1, 3)[bidx, slot]   # (B, topk, Hkv, D)
     return (gp.astype(jnp.float32) * sc[:, :, :, None, :]).astype(dtype)
 
@@ -669,7 +714,7 @@ def _gather_retrieved(kv: StreamKV, cfg: ReKVConfig, block_slot_safe,
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
     gk = kv.block_k[bidx, :, block_slot_safe]   # (B, topk, Hkv, S, D)
     gv = kv.block_v[bidx, :, block_slot_safe]
-    if cfg.kv_quant == "int8":
+    if cfg.kv_quant != "none":
         dt = kv.init_k.dtype
         gk = _dequant_gathered(gk, kv.block_k_scale, bidx, block_slot_safe,
                                dt)

@@ -26,6 +26,17 @@ import jax.numpy as jnp
 from stc_tpu.kvcache.state import StreamKV
 
 
+def _unpack_int4_np(p: np.ndarray) -> np.ndarray:
+    """uint8 packed nibbles (..., Dp) -> float32 values (..., 2*Dp) —
+    numpy mirror of engine._unpack_int4 for host-side dequant."""
+    lo = (p & 0x0F).astype(np.int8)
+    hi = (p >> 4).astype(np.int8)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    return np.stack([lo, hi], axis=-1).reshape(
+        p.shape[:-1] + (2 * p.shape[-1],)).astype(np.float32)
+
+
 class HostBlockStore:
     """Per-model host store of evicted pages, stacked over layers.
 
@@ -89,6 +100,8 @@ class HostBlockStore:
         k, v, ks, vs = self.fetch_raw(layer, batch, abs_pages)
         if ks is None:
             return k, v
+        if k.dtype == np.uint8:  # packed int4 (kv_quant='int4' store)
+            k, v = _unpack_int4_np(k), _unpack_int4_np(v)
         return (k.astype(np.float32) * ks[:, :, None, :],
                 v.astype(np.float32) * vs[:, :, None, :])
 

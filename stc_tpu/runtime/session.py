@@ -76,10 +76,10 @@ class StreamingSession:
         mc, rc = model_cfg, self.rekv
         self.attn_backend = _resolve_backend(
             os.environ.get("STC_ATTN_BACKEND", "auto"))
-        if rc.window_kv_compression != "none" and \
-                self.attn_backend.startswith("pallas"):
-            # the paged Pallas kernel (compiled OR interpret) does not read
-            # page keep masks
+        if (rc.window_kv_compression != "none" or rc.kv_quant == "int4") \
+                and self.attn_backend.startswith("pallas"):
+            # the paged Pallas kernel (compiled OR interpret) reads neither
+            # page keep masks nor packed-int4 nibbles
             self.attn_backend = "jnp"
         self._encode_init = jax.jit(functools.partial(
             qw.encode_step, cfg=mc, rekv=rc, is_init=True),
@@ -104,11 +104,16 @@ class StreamingSession:
 
         def _hp_scatter_fn(hp_kv, hp_ids, delta, coords, scales=None):
             # delta: (n, 2, Hkv, S, D); coords: (n, 4) = (layer, b, col, id);
-            # scales (n, 2, Hkv, D) present when the host tier is int8 —
+            # scales (n, 2, Hkv, D) present when the host tier is quantized —
             # dequantization happens here, inside the one staging dispatch
+            # (packed-int4 deltas cross the link at quarter size and unpack
+            # here too)
             li, bi, ci, pi = (coords[:, 0], coords[:, 1], coords[:, 2],
                               coords[:, 3])
             if scales is not None:
+                if delta.dtype == jnp.uint8:
+                    from stc_tpu.kvcache.engine import _unpack_int4
+                    delta = _unpack_int4(delta)
                 delta = (delta.astype(jnp.float32)
                          * scales[:, :, :, None, :]).astype(hp_kv.dtype)
             # advanced indices at axes (1, 2, 4) move to the front: the
@@ -176,10 +181,10 @@ class StreamingSession:
             assert E > 0 and resident - E >= self._window_pages, (
                 "max_blocks too small for host-tier eviction margins")
             ev_k, ev_v, ev_ks, ev_vs, self.kvs = evict_pages(self.kvs, E)
-            if rc.kv_quant == "int8":
-                # device pages are already int8 + scales: the D2H copy is
-                # half-size with zero extra work (host tier stores the same
-                # representation; host_kv_quant is implied)
+            if rc.kv_quant != "none":
+                # device pages are already int8 (or packed-int4) + scales:
+                # the D2H copy is compressed with zero extra work (host tier
+                # stores the same representation; host_kv_quant is implied)
                 self.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
                                        np.asarray(ev_ks), np.asarray(ev_vs))
             elif rc.host_kv_quant == "int8":
