@@ -318,7 +318,8 @@ def bench_qa_host(warm=False, quant="none"):
     relay's ~50 MB/s; on a real v5e host PCIe this is ~5 ms.  quant='int8'
     benchmarks the compressed host tier (ReKVConfig.host_kv_quant): pages
     cross the link as int8+scales, halving the cold-path transfer."""
-    sess, cfg = build(kv_quant="int8" if quant == "kv_int8" else "none")
+    kvq = {"kv_int8": "int8", "kv_int4": "int4"}.get(quant, "none")
+    sess, cfg = build(kv_quant=kvq)
     if quant == "int8":
         import dataclasses
         sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant=quant)
@@ -333,8 +334,8 @@ def bench_qa_host(warm=False, quant="none"):
     from stc_tpu.kvcache.host_tier import evict_pages, quantize_pages
     E = 128
     ev_k, ev_v, ev_ks, ev_vs, sess.kvs = evict_pages(sess.kvs, E)
-    if quant == "kv_int8":
-        # device pages are already int8+scales (kv_quant store)
+    if quant in ("kv_int8", "kv_int4"):
+        # device pages are already int8/packed-int4 + scales (kv_quant store)
         sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
                                np.asarray(ev_ks), np.asarray(ev_vs))
     elif quant == "int8":
@@ -412,6 +413,28 @@ def main():
             "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
                       "+ 16-token greedy decode, llava-ov-0.5b shapes, "
                       "steady-state full window)",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "ingest_kvq4":
+        fps = bench_ingest(kv_quant="int4")
+        print(json.dumps({
+            "metric": "streaming ingest frames/sec/chip with INT4 KV PAGES "
+                      "(packed nibbles: quarter the page bytes + "
+                      "quarter-width window reads, 4x retrievable history "
+                      "at equal HBM, in-kernel nibble unpack; llava-ov-0.5b "
+                      f"shapes, {CHUNK}-frame chunks, steady state)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+        }))
+    elif mode == "qa_host_kvq4":
+        ms = bench_qa_host(quant="kv_int4")
+        print(json.dumps({
+            "metric": "QA latency p50 with host-tier hits, INT4 KV pages "
+                      "end to end (quarter-size page transfer, cold "
+                      "prefetch table), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec

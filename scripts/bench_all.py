@@ -21,16 +21,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRANSFER_BOUND_NOTE = (
     "transfer-dominated on this relay host: +-30% session variance at equal "
     "probed MB/s (see PLATFORM_NOTES.md); compute-bound modes are stable")
-TRANSFER_BOUND = {"ingest", "ingest_kvq", "multistream", "multistream_staged",
-                  "qa_host", "qa_host_int8", "qa_host_kvq"}
+TRANSFER_BOUND = {"ingest", "ingest_kvq", "ingest_kvq4", "multistream",
+                  "multistream_staged", "qa_host", "qa_host_int8",
+                  "qa_host_kvq", "qa_host_kvq4"}
 
 MODES = [
     ("ingest", {}),
     ("ingest_kvq", {}),
+    ("ingest_kvq4", {}),
     ("qa", {}),
     ("qa_host", {}),
     ("qa_host_int8", {}),
     ("qa_host_kvq", {}),
+    ("qa_host_kvq4", {}),
     ("qa_host_warm", {}),
     # chunk size is auto-tuned per run (bench.autotune_multistream): the
     # relay's per-dispatch payload cliff moves between sessions, so the

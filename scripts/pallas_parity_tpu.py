@@ -138,6 +138,16 @@ def main():
         run_case("int8_pages_exc4_offset8",
                  dataclasses.replace(cfg, kv_quant="int8"), 8,
                  exc_pages=4, evict=8, seed=8),
+        # int4 KV pages: in-kernel nibble UNPACK + dequant (split-plane
+        # packed uint8 tiles at quarter width).  Parity is vs the jnp int4
+        # path on the SAME quantized store, so the tolerance stays at the
+        # kernel bound (quantization error cancels).
+        run_case("int4_pages_post_trigger",
+                 dataclasses.replace(cfg, kv_quant="int4"), 20,
+                 seed=11),
+        run_case("int4_pages_exc4_offset8",
+                 dataclasses.replace(cfg, kv_quant="int4"), 8,
+                 exc_pages=4, evict=8, seed=12),
         # 7B head geometry (28 q heads / 4 kv heads / d128)
         run_case("7b_heads_post_trigger", cfg, 12, seed=9, heads=HEADS_7B),
         run_case("7b_heads_exc4", cfg, 5, exc_pages=4, seed=10,

@@ -75,11 +75,10 @@ class ReKVConfig:
     # of every encode append (dequant IN-KERNEL in the paged Pallas kernel),
     # and makes host-tier eviction D2H traffic int8 end to end (the host
     # tier then stores the same pages — host_kv_quant is implied).  int4:
-    # packed two-nibbles-per-byte pages — QUARTER the page bytes (4x
-    # retrievable history at equal HBM, quarter-size eviction/refetch
-    # traffic) at coarser 15-level quantization; encode attention uses the
-    # jnp backend (the Pallas kernel dequantizes int8 tiles, not nibbles) —
-    # a capacity lever, where int8 is the bandwidth+capacity lever.  Either
+    # split-plane packed two-nibbles-per-byte pages — QUARTER the page
+    # bytes (4x retrievable history at equal HBM, quarter-width window
+    # reads, quarter-size eviction/refetch traffic) at coarser 15-level
+    # quantization; the paged Pallas kernel unpacks nibbles in VMEM.  Either
     # way rep keys are built from the pre-quantization keys, so retrieval
     # SCORING is exact and only attention values carry the quantization
     # error (~0.4% int8, ~7% int4 worst-case per value).

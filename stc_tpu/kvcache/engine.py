@@ -223,7 +223,9 @@ def _quantize_page(x: jax.Array):
 def _quantize_page_int4(x: jax.Array):
     """(B, Hkv, n, S, D) -> (uint8 packed nibbles (..., S, D//2), f32 scales
     (B, Hkv, n, D)).  Symmetric absmax over the S token rows onto [-7, 7];
-    byte j packs dims (2j, 2j+1) as (low, high) two's-complement nibbles."""
+    SPLIT-PLANE packing: byte j holds dims j (low nibble) and j + D/2 (high
+    nibble) as two's-complement nibbles — unpack is a lane-friendly concat
+    (no interleave), which the Pallas kernel does in VMEM."""
     a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=3)
     scale = jnp.maximum(a, 1e-8) / 7.0
     q = jnp.round(x.astype(jnp.float32) / scale[:, :, :, None, :])
@@ -232,19 +234,22 @@ def _quantize_page_int4(x: jax.Array):
 
 
 def _pack_int4(q: jax.Array) -> jax.Array:
-    """int8 nibble values (..., D) in [-8, 7] -> uint8 packed (..., D//2)."""
+    """int8 nibble values (..., D) in [-8, 7] -> uint8 packed (..., D//2):
+    byte j = (q[..., j] & 0xF) | (q[..., j + D/2] << 4)."""
+    Dh = q.shape[-1] // 2
     u = q.astype(jnp.uint8)  # two's complement
-    return (u[..., 0::2] & 0x0F) | (u[..., 1::2] << 4)
+    return (u[..., :Dh] & 0x0F) | (u[..., Dh:] << 4)
 
 
 def _unpack_int4(p: jax.Array) -> jax.Array:
-    """uint8 packed (..., Dp) -> f32 nibble values (..., 2*Dp)."""
-    lo = (p & 0x0F).astype(jnp.int8)
-    hi = (p >> 4).astype(jnp.int8)
+    """uint8 packed (..., Dp) -> f32 nibble values (..., 2*Dp), split-plane
+    order (low nibbles are dims [0, Dp), high nibbles dims [Dp, 2*Dp))."""
+    p32 = p.astype(jnp.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
-    return jnp.stack([lo, hi], axis=-1).reshape(
-        p.shape[:-1] + (2 * p.shape[-1],)).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
 
 
 def _dequant_pages(pages: jax.Array, scales: jax.Array, dtype) -> jax.Array:
@@ -319,10 +324,6 @@ def append_stream(
     assert not (compress_window and backend.startswith("pallas")), (
         "window_kv_compression needs the jnp encode backend (the paged "
         "Pallas kernel does not read page keep masks)")
-    assert not (cfg.kv_quant == "int4" and backend.startswith("pallas")), (
-        "kv_quant='int4' needs the jnp encode backend (the paged Pallas "
-        "kernel dequantizes int8 tiles, not packed nibbles); the session "
-        "resolves this automatically")
     rc = rope_cache if rope_cache is not None else make_rope_cache(
         kv.length, kv.num_blocks, T, cfg, D, rope_base, n_pages=win_pages,
         page_offset=kv.page_offset)
@@ -385,8 +386,8 @@ def append_stream(
         # paged path: the kernel streams the window's contiguous page tiles
         # straight from the HBM store via a scalar-driven BlockSpec index map
         # — no XLA gather, no materialized window copy.  With kv_quant the
-        # tiles cross HBM->VMEM as int8 (half the window-read bandwidth)
-        # and dequantize inside the kernel.
+        # tiles cross HBM->VMEM as int8 (half the window-read bandwidth) or
+        # packed int4 (quarter) and unpack/dequantize inside the kernel.
         from stc_tpu.ops.stream_attention import stream_attention
         scalars = jnp.stack([
             kv.length,

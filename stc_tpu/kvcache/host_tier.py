@@ -28,13 +28,14 @@ from stc_tpu.kvcache.state import StreamKV
 
 def _unpack_int4_np(p: np.ndarray) -> np.ndarray:
     """uint8 packed nibbles (..., Dp) -> float32 values (..., 2*Dp) —
-    numpy mirror of engine._unpack_int4 for host-side dequant."""
-    lo = (p & 0x0F).astype(np.int8)
-    hi = (p >> 4).astype(np.int8)
+    numpy mirror of engine._unpack_int4 (split-plane order: low nibbles are
+    dims [0, Dp), high nibbles dims [Dp, 2*Dp))."""
+    p32 = p.astype(np.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
     lo = np.where(lo > 7, lo - 16, lo)
     hi = np.where(hi > 7, hi - 16, hi)
-    return np.stack([lo, hi], axis=-1).reshape(
-        p.shape[:-1] + (2 * p.shape[-1],)).astype(np.float32)
+    return np.concatenate([lo, hi], axis=-1).astype(np.float32)
 
 
 class HostBlockStore:

@@ -59,13 +59,26 @@ def _rot_half(x):
     return jnp.concatenate([-b, a], axis=-1)
 
 
+def _unpack_nibbles(raw):
+    """uint8 (rows, Dp) -> f32 (rows, 2*Dp), split-plane two's-complement
+    nibbles (engine._pack_int4 layout: byte j = dims j | j+Dp<<4).  The
+    concat is along lanes — no interleave, VMEM-friendly."""
+    p32 = raw.astype(jnp.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
 def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
             q_rot_ref, q_one_ref,           # (1, 1, G, TQ, D) query tile
             k_pages_ref, v_pages_ref,       # (1, 1, ppt, S, D) window tile
             *rest,                          # [k/v scale tiles if quantized,]
                                             # cos, sin, k_init, v_init,
                                             # k_init_raw, o_ref, scratch
-            TQ, n_local, n_init, ppt, S, n_tiles, scale, quantized=False):
+            TQ, n_local, n_init, ppt, S, n_tiles, scale, quantized=False,
+            qbits=8):
     if quantized:
         (k_scale_ref, v_scale_ref, cos_ref, sin_ref, k_init_ref, v_init_ref,
          k_init_raw_ref, o_ref, m_scr, l_scr, acc_scr) = rest
@@ -134,10 +147,16 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
         dist = q_pos - pos
         mask = (dist >= 0) & (dist < n_local) & (page_abs < total)
 
-        k = k_pages_ref[0, 0].reshape(tile, D).astype(jnp.float32)
+        Dk = k_pages_ref.shape[-1]  # D (bf16/int8) or D//2 (packed int4)
+        k_raw = k_pages_ref[0, 0].reshape(tile, Dk)
+        if quantized and qbits == 4:
+            # packed-int4 tiles: quarter-width HBM read, nibble unpack +
+            # dequant in VMEM (split-plane: unpack is a lane concat)
+            k = _unpack_nibbles(k_raw)                       # (tile, D)
+        else:
+            k = k_raw.astype(jnp.float32)
         if quantized:
-            # int8 page tiles: dequant in VMEM (per-page scales broadcast
-            # over the S token rows) — the HBM read was half-width
+            # dequant in VMEM (per-page scales broadcast over the S rows)
             ks = k_scale_ref[0, 0, 0]                        # (ppt, D) f32
             k = k * jnp.broadcast_to(ks[:, None, :],
                                      (ppt, S, D)).reshape(tile, D)
@@ -148,13 +167,21 @@ def _kernel(scal_ref,                       # (B, 5) int32 scalar prefetch
         s = jax.lax.dot_general(q, k_rot, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         Dv = v_pages_ref.shape[-1]
-        v_tile = v_pages_ref[0, 0].reshape(tile, Dv)
-        if quantized:
+        v_raw = v_pages_ref[0, 0].reshape(tile, Dv)
+        if quantized and qbits == 4:
+            v_tile = _unpack_nibbles(v_raw)                  # (tile, D)
+            vs = v_scale_ref[0, 0, 0]                        # (ppt, D) f32
+            v_tile = (v_tile * jnp.broadcast_to(
+                vs[:, None, :], (ppt, S, D)).reshape(tile, D)
+                ).astype(jnp.bfloat16)
+        elif quantized:
             vs = v_scale_ref[0, 0, 0]                        # (ppt, Dv) f32
-            v_tile = (v_tile.astype(jnp.float32)
+            v_tile = (v_raw.astype(jnp.float32)
                       * jnp.broadcast_to(vs[:, None, :],
                                          (ppt, S, Dv)).reshape(tile, Dv)
                       ).astype(jnp.bfloat16)
+        else:
+            v_tile = v_raw
         online_update(s, mask, v_tile)
 
     # ---- epilogue on the last window tile: init stages + finalize ----
@@ -200,9 +227,10 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     q_rot/q_one: (B, Hq, T, D) pre-rotated queries.
     block_k/block_v: (B, Hkv, Nb, S, D) UNROTATED append-only page store;
       the kernel streams the window's contiguous page tiles directly from it.
-      With kv_quant the store is int8 and k_scales/v_scales
-      ((B, Hkv, Nb, D) f32) ride along — page tiles cross HBM->VMEM at half
-      width and dequantize in-kernel.
+      With kv_quant the store is int8 (or uint8 packed int4 nibbles with
+      D//2 bytes) and k_scales/v_scales ((B, Hkv, Nb, D) f32) ride along —
+      page tiles cross HBM->VMEM at half (quarter) width and
+      unpack/dequantize in-kernel.
     cos_cover/sin_cover: (B, Lc, D) fp32 rope tables for the page COVER
       (n_read_tiles aligned tiles starting at scalars[:,1]*ppt).
     k_init_rot/v_init/k_init_raw: (B, Hkv, n_init, D).
@@ -217,6 +245,10 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     G = Hq // Hkv
     dtype = q_rot.dtype
     assert T % S == 0, (T, S)  # exc appends carry T/S pages
+    Dk = block_k.shape[-1]     # D, or D//2 for packed-int4 pages
+    qbits = 4 if block_k.dtype == jnp.uint8 else 8
+    if qbits == 4:
+        assert Dk * 2 == D and k_scales is not None, (Dk, D)
 
     Tp = _round_up(T, 8)
     NI = _round_up(n_init, 8)
@@ -245,9 +277,9 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     def pad_init(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, NI - n_init), (0, 0)))
 
-    # page store viewed as aligned tiles: (B, Hkv, NT, tile==ppt*S, D)
-    k_tiled = block_k.reshape(B, Hkv, NT, tile, D)
-    v_tiled = block_v.reshape(B, Hkv, NT, tile, D)
+    # page store viewed as aligned tiles: (B, Hkv, NT, tile==ppt*S, Dk)
+    k_tiled = block_k.reshape(B, Hkv, NT, tile, Dk)
+    v_tiled = block_v.reshape(B, Hkv, NT, tile, Dk)
     quantized = k_scales is not None
     if quantized:
         ks_tiled = k_scales.reshape(B, Hkv, NT, ppt, D)
@@ -265,7 +297,8 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
     grid = (B, Hkv, n_qt, n_tiles)
     kern = functools.partial(
         _kernel, TQ=TQ, n_local=n_local, n_init=n_init, ppt=ppt, S=S,
-        n_tiles=n_tiles, scale=1.0 / (D ** 0.5), quantized=quantized)
+        n_tiles=n_tiles, scale=1.0 / (D ** 0.5), quantized=quantized,
+        qbits=qbits)
 
     scale_specs = ([pl.BlockSpec((1, 1, 1, ppt, D), page_map),
                     pl.BlockSpec((1, 1, 1, ppt, D), page_map)]
@@ -279,8 +312,8 @@ def stream_attention(q_rot, q_one, block_k, block_v, cos_cover, sin_cover,
             in_specs=[
                 pl.BlockSpec((1, 1, G, TQ, D), q_map),
                 pl.BlockSpec((1, 1, G, TQ, D), q_map),
-                pl.BlockSpec((1, 1, 1, tile, D), page_map),
-                pl.BlockSpec((1, 1, 1, tile, D), page_map),
+                pl.BlockSpec((1, 1, 1, tile, Dk), page_map),
+                pl.BlockSpec((1, 1, 1, tile, Dk), page_map),
                 *scale_specs,
                 pl.BlockSpec((1, tile, D), lambda b, h, qt, t, s: (b, t, 0)),
                 pl.BlockSpec((1, tile, D), lambda b, h, qt, t, s: (b, t, 0)),

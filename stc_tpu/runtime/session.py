@@ -76,10 +76,10 @@ class StreamingSession:
         mc, rc = model_cfg, self.rekv
         self.attn_backend = _resolve_backend(
             os.environ.get("STC_ATTN_BACKEND", "auto"))
-        if (rc.window_kv_compression != "none" or rc.kv_quant == "int4") \
-                and self.attn_backend.startswith("pallas"):
-            # the paged Pallas kernel (compiled OR interpret) reads neither
-            # page keep masks nor packed-int4 nibbles
+        if rc.window_kv_compression != "none" and \
+                self.attn_backend.startswith("pallas"):
+            # the paged Pallas kernel (compiled OR interpret) does not read
+            # page keep masks
             self.attn_backend = "jnp"
         self._encode_init = jax.jit(functools.partial(
             qw.encode_step, cfg=mc, rekv=rc, is_init=True),

@@ -250,29 +250,14 @@ def test_int4_encode_and_retrieval_close_to_exact():
                                   np.asarray(rk_f)[0, :, :CFG.n_init])
 
 
-def test_int4_pallas_backend_rejected_and_session_falls_back():
-    """append_stream refuses pallas with packed nibbles; a session built
-    with kv_quant='int4' resolves its backend to jnp automatically."""
-    kv = init_stream_kv(CFG_Q4, 1, HKV, D, dtype=jnp.float32)
-    rng = np.random.default_rng(0)
-    arrs = lambda h, t: jnp.asarray(rng.normal(size=(1, h, t, D)),
-                                    jnp.float32)
-    q, k, v = arrs(HQ, 4), arrs(HKV, 4), arrs(HKV, 4)
-    _, kv = append_stream(kv, q, k, v, CFG_Q4, is_init=True)
-    with pytest.raises(AssertionError, match="int4"):
-        append_stream(kv, arrs(HQ, 8), arrs(HKV, 8), arrs(HKV, 8), CFG_Q4,
-                      is_init=False, backend="pallas_interpret")
-    import os
-    old = os.environ.get("STC_ATTN_BACKEND")
-    os.environ["STC_ATTN_BACKEND"] = "pallas"
-    try:
-        sess, _ = make_sess("int4")
-        assert sess.attn_backend == "jnp"
-    finally:
-        if old is None:
-            os.environ.pop("STC_ATTN_BACKEND", None)
-        else:
-            os.environ["STC_ATTN_BACKEND"] = old
+def test_int4_pallas_kernel_matches_jnp_int4_path():
+    """The paged kernel's in-VMEM nibble unpack + dequant (interpret mode)
+    must match the XLA int4 path bit for bit on the same quantized store."""
+    _, outs_pl, _ = drive(CFG_Q4, 8, seed=4, backend="pallas_interpret")
+    _, outs_jnp, _ = drive(CFG_Q4, 8, seed=4, backend="jnp")
+    for i, (a, b) in enumerate(zip(outs_pl, outs_jnp)):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2,
+                                   err_msg=f"append {i}")
 
 
 def test_int4_session_hosttier_end_to_end(tmp_path):
