@@ -283,8 +283,17 @@ def append_stream(
     rope_cache: Optional[RopeCache] = None,
     backend: str = "jnp",   # 'jnp' | 'pallas' | 'pallas_interpret'
     win_pages: int | None = None,  # static window bucket (see make_rope_cache)
+    active: Optional[jax.Array] = None,  # (B,) bool: ragged ingest mask
 ) -> Tuple[jax.Array, StreamKV]:
     """One streaming append of T tokens; returns (attn_out, new_state).
+
+    active: optional per-stream mask for RAGGED multi-stream ingest (streams
+    ticking at different rates batched into ONE dispatch — the serving shape
+    the reference's one-session-per-process model cannot express).  Inactive
+    streams' state is bit-identical afterwards (counters gated; page/rep
+    writes select the existing content back), and their attention outputs
+    are garbage the caller must ignore.  Per-stream masks/positions already
+    come from per-stream counters, so active streams are unaffected.
 
     Semantics mirror ContextManager.append for a single exc block:
       stage 1: q attends [init tokens + window pages] with the causal
@@ -344,23 +353,40 @@ def append_stream(
         return jax.lax.dynamic_update_slice_in_dim(store_b, pages_b, start,
                                                    axis=1)
 
+    def _masked(write_fn, store, new, start, axis):
+        """Write `new` at per-stream slots, but for INACTIVE streams select
+        the store's existing content back (ragged ingest: an idle stream's
+        state must stay bit-identical even when its store is full and the
+        clipped slot would land on live pages).  `axis` indexes the BATCHED
+        arrays; the vmapped per-stream slice uses axis-1."""
+        if active is None:
+            return jax.vmap(write_fn)(store, new, start)
+
+        def _rd(store_b, start_b):
+            return jax.lax.dynamic_slice_in_dim(store_b, start_b,
+                                                new.shape[axis], axis=axis - 1)
+
+        cur = jax.vmap(_rd)(store, start)
+        am = active.reshape((B,) + (1,) * (new.ndim - 1))
+        return jax.vmap(write_fn)(store, jnp.where(am, new, cur), start)
+
     quant = cfg.kv_quant != "none"
     if quant:
         # quantize on write: per-(page, head, dim) absmax scales over the S
         # token rows (the host tier's scheme, on device).  The attention /
         # gather consumers dequantize; rep keys below use the EXACT keys.
         # int4 packs two nibbles per byte (quarter the page bytes; 4x the
-        # retrievable history at equal HBM; jnp backend only).
+        # retrievable history at equal HBM).
         qfn = _quantize_page_int4 if cfg.kv_quant == "int4" else _quantize_page
         k_q, k_sc = qfn(k_pages)
         v_q, v_sc = qfn(v_pages)
-        block_k = jax.vmap(_wr)(kv.block_k, k_q, slot)
-        block_v = jax.vmap(_wr)(kv.block_v, v_q, slot)
-        block_k_scale = jax.vmap(_wr)(kv.block_k_scale, k_sc, slot)
-        block_v_scale = jax.vmap(_wr)(kv.block_v_scale, v_sc, slot)
+        block_k = _masked(_wr, kv.block_k, k_q, slot, 2)
+        block_v = _masked(_wr, kv.block_v, v_q, slot, 2)
+        block_k_scale = _masked(_wr, kv.block_k_scale, k_sc, slot, 2)
+        block_v_scale = _masked(_wr, kv.block_v_scale, v_sc, slot, 2)
     else:
-        block_k = jax.vmap(_wr)(kv.block_k, k_pages, slot)
-        block_v = jax.vmap(_wr)(kv.block_v, v_pages, slot)
+        block_k = _masked(_wr, kv.block_k, k_pages, slot, 2)
+        block_v = _masked(_wr, kv.block_v, v_pages, slot, 2)
         block_k_scale = kv.block_k_scale
         block_v_scale = kv.block_v_scale
     # one representative mean key per page (reference _append_global)
@@ -374,8 +400,14 @@ def append_stream(
         return jax.lax.dynamic_update_slice_in_dim(store_b, rep_b, start,
                                                    axis=0)
 
-    block_rep = jax.vmap(_wr_rep)(kv.block_rep, rep, rep_start)
-    num_blocks = kv.num_blocks + n_new
+    block_rep = _masked(_wr_rep, kv.block_rep, rep, rep_start, 1)
+    if active is None:
+        num_blocks = kv.num_blocks + n_new
+        new_length = kv.length + T
+    else:
+        act = active.astype(jnp.int32)
+        num_blocks = kv.num_blocks + n_new * act
+        new_length = kv.length + T * act
 
     # ---- rotations (tables shared across layers via rope_cache) ----
     q_rot = _rot(q, rc.cos_q, rc.sin_q)
@@ -455,14 +487,14 @@ def append_stream(
             return jax.lax.dynamic_update_slice_in_dim(keep_b, rows, start,
                                                        axis=0)
 
-        page_keep = jax.vmap(_wr_keep)(page_keep, new_keep, slot)
+        page_keep = _masked(_wr_keep, page_keep, new_keep, slot, 1)
 
     new_kv = kv._replace(block_k=block_k, block_v=block_v,
                          block_k_scale=block_k_scale,
                          block_v_scale=block_v_scale,
                          block_rep=block_rep, page_keep=page_keep,
                          num_blocks=num_blocks,
-                         length=kv.length + T)
+                         length=new_length)
     return o, new_kv
 
 

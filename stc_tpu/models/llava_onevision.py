@@ -192,6 +192,21 @@ class LlavaOVVision:
                     self.batch, int(self.cfg.text.hidden_size
                                     * self.scfg.pruner.channel_keep_ratio)))
 
+    def select_streams(self, vstate, pstate, old_vstate, old_pstate, mask):
+        """Ragged ingest: inactive streams keep their OLD cacher references
+        (L, B, T, C — stream axis 1) and pruner memory (B, ... — axis 0)."""
+        import jax
+
+        def sel(axis):
+            def f(n, o):
+                shape = [1] * n.ndim
+                shape[axis] = mask.shape[0]
+                return jnp.where(mask.reshape(shape), n, o)
+            return f
+
+        return (jax.tree.map(sel(1), vstate, old_vstate),
+                jax.tree.map(sel(0), pstate, old_pstate))
+
     def _post(self, params, feats, pstate):
         B = self.batch
         feats = project(params["projector"], feats)

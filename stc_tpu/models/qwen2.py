@@ -266,12 +266,16 @@ def fuse_params(params):
 def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
                 kvs: StreamKV, embeds: jax.Array, *, is_init: bool,
                 attn_backend: str = "jnp",
-                win_pages: int | None = None) -> Tuple[jax.Array, StreamKV]:
+                win_pages: int | None = None,
+                active: jax.Array | None = None) -> Tuple[jax.Array,
+                                                          StreamKV]:
     """One streaming append of T tokens through all layers.
 
     embeds: (B, T, E).  Returns (final hidden states, new stacked StreamKV).
     Mirrors Abstract_ReKV._encode_video_chunk's LM forward
     (abstract_rekv.py:38-43) with past_key_values == the streaming cache.
+    active: optional (B,) bool RAGGED-ingest mask — inactive streams'
+    cache state is untouched (see engine.append_stream).
     """
     rc = None
     if not is_init:
@@ -288,7 +292,7 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         q, k, v = _qkv(lp, hn, cfg)
         o, kv = append_stream(kv, q, k, v, rekv, is_init=is_init,
                               rope_base=cfg.rope_base, rope_cache=rc,
-                              backend=attn_backend)
+                              backend=attn_backend, active=active)
         h = h + _proj_out(lp, o, cfg)
         hn = rms_norm(h, lp["ln2"], cfg.rms_eps)
         h = h + _mlp(lp, hn, cfg)

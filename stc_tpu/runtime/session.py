@@ -156,6 +156,11 @@ class StreamingSession:
         self.host_store = HostBlockStore()
         self.hp_reset()
         self._total_blocks = 0
+        # per-stream block counts for RAGGED ingest (encode_video* active=
+        # masks); _total_blocks stays the max — every capacity check is
+        # conservative over the longest stream
+        self._stream_blocks = np.zeros(self.batch, dtype=np.int64)
+        self._ragged = False
         self._evicted_pages = 0
         self._pruner_state = None  # reset by the vision pipeline if attached
         if self.frame_encoder is not None and hasattr(self.frame_encoder,
@@ -176,6 +181,15 @@ class StreamingSession:
         from stc_tpu.kvcache.host_tier import evict_pages
         while (self._total_blocks - self._evicted_pages
                + incoming_blocks > rc.max_blocks):
+            if self._ragged and np.ptp(self._stream_blocks) > 0:
+                raise RuntimeError(
+                    "host-tier eviction with DIVERGED ragged streams is not "
+                    "supported: evict_pages shifts every stream's page ring "
+                    "uniformly, which would evict unwritten slots of the "
+                    f"shorter streams (per-stream blocks: "
+                    f"{self._stream_blocks.tolist()}). Raise max_blocks to "
+                    "cover the longest stream, or keep ragged streams "
+                    "within device capacity.")
             resident = self._total_blocks - self._evicted_pages
             E = self._evict_n
             assert E > 0 and resident - E >= self._window_pages, (
@@ -197,8 +211,29 @@ class StreamingSession:
                 self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
             self._evicted_pages += E
 
-    def _track_blocks(self, n: int):
-        self._total_blocks += n
+    def _track_blocks(self, n: int, active=None):
+        if active is None:
+            self._total_blocks += n
+            self._stream_blocks += n
+            return
+        if not self._ragged:
+            # first ragged tick: adopt the scalar history as uniform (covers
+            # states fast-forwarded by tests/benches via _total_blocks)
+            self._stream_blocks[:] = self._total_blocks
+            self._ragged = True
+        self._stream_blocks += n * np.asarray(active, dtype=np.int64)
+        self._total_blocks = int(self._stream_blocks.max())
+
+    def _normalize_active(self, active):
+        """-> (jnp bool (B,) or None, np bool (B,) or None); all-True
+        masks collapse to None (the uniform fast path)."""
+        if active is None:
+            return None, None
+        a = np.asarray(active, dtype=bool).reshape(-1)
+        assert a.shape == (self.batch,), (a.shape, self.batch)
+        if a.all():
+            return None, None
+        return jnp.asarray(a), a
 
     def _check_rep_capacity(self, incoming_blocks: int):
         """The rep array scores the FULL block history (host tier included);
@@ -226,22 +261,36 @@ class StreamingSession:
         _, self.kvs = self._encode_init(self.params, kvs=self.kvs,
                                         embeds=embeds)
 
-    def encode_video_features(self, feats):
-        """feats: (B, n_frames*block_size, E) pruned visual features."""
+    def encode_video_features(self, feats, active=None):
+        """feats: (B, n_frames*block_size, E) pruned visual features.
+
+        active: optional (B,) bool RAGGED-ingest mask — streams at different
+        positions/rates batched into the same dispatches; inactive streams'
+        rows are ignored and their cache state stays bit-identical (the
+        serving shape the reference's one-session-per-process DP cannot
+        express).  Ragged streams must stay within device capacity once
+        their lengths diverge (host-tier eviction shifts all streams
+        uniformly — _maybe_evict raises otherwise)."""
         feats = jnp.asarray(feats, qw.param_dtype(self.params))
         B, T, E = feats.shape
         S = self.rekv.block_size
         exc = self.rekv.exc_block_size
         assert T % S == 0, (T, S)
+        act_dev, act_np = self._normalize_active(active)
         self._check_rep_capacity(T // S)
         # exc_block_size tokens per attention dispatch (multi-page appends);
         # the tail chunk compiles once at its own (block-multiple) shape
         for i in range(0, T, exc):
             n = min(exc, T - i) // S
             self._maybe_evict(n)
-            _, self.kvs = self._encode_block(
-                self.params, kvs=self.kvs, embeds=feats[:, i:i + n * S])
-            self._track_blocks(n)
+            if act_dev is None:
+                _, self.kvs = self._encode_block(
+                    self.params, kvs=self.kvs, embeds=feats[:, i:i + n * S])
+            else:
+                _, self.kvs = self._encode_block(
+                    self.params, kvs=self.kvs, embeds=feats[:, i:i + n * S],
+                    active=act_dev)
+            self._track_blocks(n, active=act_np)
 
     def encode_video(self, frames):
         """frames: (n_frames, H, W, 3) uint8.  On a bare StreamingSession

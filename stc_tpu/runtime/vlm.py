@@ -108,6 +108,15 @@ class VisionPipeline:
         """-> (flat_features, vstate, pstate)"""
         raise NotImplementedError
 
+    def select_streams(self, vstate, pstate, old_vstate, old_pstate, mask):
+        """Ragged ingest: keep OLD per-stream vision/pruner state for
+        inactive streams (their garbage pixels must not pollute cacher
+        references or the pruner's running memory).  Pipelines whose state
+        carries a stream axis override this; the default refuses."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support ragged (active-masked) "
+            "multi-stream ingest: its vision state has no stream axis")
+
 
 class VLMSession(StreamingSession):
     def __init__(self, params: Dict[str, Any], text_cfg, scfg: SessionConfig,
@@ -126,7 +135,8 @@ class VLMSession(StreamingSession):
         from stc_tpu.kvcache.engine import n_window_pages
         self._W = n_window_pages(rekv)
 
-        def _frame(params, pixels, kvs, vstate, pstate, *, cached, bucket):
+        def _frame(params, pixels, kvs, vstate, pstate, active=None, *,
+                   cached, bucket):
             pixels = vision.device_preprocess(pixels)
             path = vision.cached if cached else vision.full
             flat, vstate, pstate = path(params, pixels, vstate, pstate)
@@ -147,20 +157,33 @@ class VLMSession(StreamingSession):
                                         flat[:, i:i + exc],
                                         is_init=False,
                                         attn_backend=backend,
-                                        win_pages=bucket)
+                                        win_pages=bucket,
+                                        active=active)
             return kvs, vstate, pstate
 
+        def _frame_ragged(params, pixels, kvs, vstate, pstate, active, *,
+                          cached, bucket):
+            new_kvs, new_v, new_p = _frame(params, pixels, kvs, vstate,
+                                           pstate, active, cached=cached,
+                                           bucket=bucket)
+            new_v, new_p = vision.select_streams(new_v, new_p, vstate,
+                                                 pstate, active)
+            return new_kvs, new_v, new_p
+
         self._frame_fn = _frame
+        self._frame_ragged_fn = _frame_ragged
         self._frame_jits = {}
         self._reset_vision()
 
-    def _get_frame_jit(self, cached: bool, bucket: int):
-        key = (cached, bucket)
+    def _get_frame_jit(self, cached: bool, bucket: int,
+                       ragged: bool = False):
+        key = (cached, bucket, ragged)
         if key not in self._frame_jits:
             donate = ("kvs",) if cached else ("kvs", "vstate")
+            fn = self._frame_ragged_fn if ragged else self._frame_fn
             self._frame_jits[key] = jax.jit(
-                functools.partial(self._frame_fn, cached=cached,
-                                  bucket=bucket), donate_argnames=donate)
+                functools.partial(fn, cached=cached, bucket=bucket),
+                donate_argnames=donate)
         return self._frame_jits[key]
 
     def _bucket(self, blocks_after: int) -> int:
@@ -178,14 +201,19 @@ class VLMSession(StreamingSession):
         if hasattr(self, "_all_params"):
             self._reset_vision()
 
-    def encode_video(self, frames):
+    def encode_video(self, frames, active=None):
         """frames: (n, H, W, 3) single stream or (B, n, H, W, 3) multi-stream
         (B must equal the session batch).  A jax.Array input is treated as
         ALREADY STAGED pixels for exactly one chunk (the FramePrefetcher /
         double-buffered ingest path: the host thread device_puts staged uint8
-        frames ahead of time so the transfer overlaps device compute)."""
+        frames ahead of time so the transfer overlaps device compute).
+
+        active: optional (B,) bool RAGGED-ingest mask — streams ticking at
+        different rates share one dispatch; inactive streams' rows are
+        ignored (feed anything, e.g. the previous chunk) and their KV,
+        cacher, and pruner state stay bit-identical."""
         if isinstance(frames, jax.Array):
-            self._encode_staged_chunk(frames)
+            self._encode_staged_chunk(frames, active)
             return
         frames = np.asarray(frames)
         if frames.ndim == 5:
@@ -198,25 +226,33 @@ class VLMSession(StreamingSession):
             chunk = (frames[:, s:s + n] if frames.ndim == 5
                      else frames[s:s + n])
             self._encode_chunk_pixels(self.vision.preprocess(chunk),
-                                      chunk.shape[frame_axis])
+                                      chunk.shape[frame_axis], active)
 
-    def _encode_staged_chunk(self, pixels: jax.Array):
+    def _encode_staged_chunk(self, pixels: jax.Array, active=None):
         assert pixels.shape[0] % self.batch == 0, (pixels.shape, self.batch)
-        self._encode_chunk_pixels(pixels, pixels.shape[0] // self.batch)
+        self._encode_chunk_pixels(pixels, pixels.shape[0] // self.batch,
+                                  active)
 
-    def _encode_chunk_pixels(self, pixels, n_frames: int):
+    def _encode_chunk_pixels(self, pixels, n_frames: int, active=None):
         use_cached = (self.scfg.cacher.enabled
                       and self.chunk_idx % self.scfg.cacher.cache_interval
                       != 0)
+        act_dev, act_np = self._normalize_active(active)
         self._maybe_evict(n_frames)
         resident_after = (self._total_blocks + n_frames
                           - self._evicted_pages)
         bucket = self._bucket(resident_after)
-        fn = self._get_frame_jit(use_cached, bucket)
-        self.kvs, self._vstate, self._pstate = fn(
-            self._all_params, pixels, kvs=self.kvs,
-            vstate=self._vstate, pstate=self._pstate)
-        self._track_blocks(n_frames)
+        fn = self._get_frame_jit(use_cached, bucket,
+                                 ragged=act_dev is not None)
+        if act_dev is None:
+            self.kvs, self._vstate, self._pstate = fn(
+                self._all_params, pixels, kvs=self.kvs,
+                vstate=self._vstate, pstate=self._pstate)
+        else:
+            self.kvs, self._vstate, self._pstate = fn(
+                self._all_params, pixels, kvs=self.kvs,
+                vstate=self._vstate, pstate=self._pstate, active=act_dev)
+        self._track_blocks(n_frames, active=act_np)
         self.chunk_idx += 1
 
     def stage_chunk(self, frames) -> jax.Array:
