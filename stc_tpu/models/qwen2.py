@@ -511,6 +511,30 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
     return tokens, count
 
 
+def serve_step(params, cfg: Qwen2Config, rekv: ReKVConfig, kvs: StreamKV,
+               embeds: jax.Array, active: jax.Array, q_ids: jax.Array,
+               q_len: jax.Array, p_ids: jax.Array, p_len: jax.Array,
+               stop_ids: jax.Array, max_new_tokens: int,
+               attn_backend: str = "jnp", win_pages: int | None = None):
+    """PHASE-HETEROGENEOUS serving tick in ONE dispatch: ragged-encode a
+    chunk into the `active` streams, then answer per-stream questions over
+    the post-encode state (retrieval + prefill + greedy decode).
+
+    Streams may encode, answer, both (the answer sees this tick's chunk), or
+    neither in the same dispatch — the continuous-batching shape the
+    reference's one-session-per-process loop (abstract_rekv.py:38-87) cannot
+    express.  Rows of streams without a real question are garbage the caller
+    ignores; inactive streams' cache state is bit-identical (see
+    engine.append_stream).  Returns (kvs, tokens, count).
+    """
+    _, kvs = encode_step(params, cfg, rekv, kvs, embeds, is_init=False,
+                         attn_backend=attn_backend, win_pages=win_pages,
+                         active=active)
+    tokens, count = answer_question(params, cfg, rekv, kvs, q_ids, q_len,
+                                    p_ids, p_len, stop_ids, max_new_tokens)
+    return kvs, tokens, count
+
+
 def qa_layer_logits(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
                     h: jax.Array, n_tokens: jax.Array):
     """Layerwise-QA phase 1 for the ABLATION scorers: returns this layer's

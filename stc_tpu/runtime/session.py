@@ -320,6 +320,109 @@ class StreamingSession:
         instead of stream 0's (the question is shared; retrieval and the
         answer are per-stream).
         """
+        B = self.batch
+        q_ids, q_len = self._pad_ids([question_ids] * B)
+        p_ids, p_len = self._pad_ids([prompt_ids] * B)
+        tokens, count = self._qa_run(q_ids, q_len, p_ids, p_len,
+                                     stop_token_ids, max_new_tokens,
+                                     retrieved_indices)
+        if all_streams:
+            return [[int(t) for t in tokens[b, :int(count[b])]]
+                    for b in range(B)]
+        return [int(t) for t in tokens[0, :int(count[0])]]
+
+    def question_answering_batch(
+        self,
+        questions: Sequence[Sequence[int]],
+        prompts: Sequence[Sequence[int]],
+        stop_token_ids: Sequence[int],
+        max_new_tokens: int = 128,
+        retrieved_indices: Optional[Sequence[int]] = None,
+    ) -> List[List[int]]:
+        """PER-STREAM questions in one batched QA: `questions[b]`/`prompts[b]`
+        may differ per stream in content and length (right-padded to a shared
+        bucket; retrieval, prefill-logit gather, and greedy stopping are all
+        per-stream already).  The serving shape for multiplexed sessions —
+        the reference answers one question per process.  Returns one token
+        list per stream."""
+        assert len(questions) == self.batch and len(prompts) == self.batch
+        q_ids, q_len = self._pad_ids(questions)
+        p_ids, p_len = self._pad_ids(prompts)
+        tokens, count = self._qa_run(q_ids, q_len, p_ids, p_len,
+                                     stop_token_ids, max_new_tokens,
+                                     retrieved_indices)
+        return [[int(t) for t in tokens[b, :int(count[b])]]
+                for b in range(self.batch)]
+
+    def serve(self, feats, active, questions, prompts, stop_token_ids,
+              max_new_tokens: int = 128):
+        """PHASE-HETEROGENEOUS serving tick: ragged-encode `feats` into the
+        `active` streams AND answer per-stream `questions` — in ONE dispatch
+        on the device-resident hot path (mean_dot scorer, nothing evicted,
+        one exc chunk).  Streams may encode, answer, both (the answer sees
+        this tick's chunk), or neither; continuous batching the reference's
+        one-session-per-process loop cannot express.
+
+        feats: (B, T, E) pruned features (inactive rows ignored — zeros ok).
+        active: (B,) bool or None (all encode).  questions/prompts: B token
+        sequences (dummy entries for streams not asking; their output rows
+        are still computed — SPMD-dense — and must be ignored by the caller).
+        Returns (tokens (B, M) np, count (B,) np).
+        Falls back to encode + QA dispatches on the host-tier/ablation paths.
+        """
+        feats = jnp.asarray(feats, qw.param_dtype(self.params))
+        B, T, E = feats.shape
+        rc = self.rekv
+        S = rc.block_size
+        assert T % S == 0, (T, S)
+        n = T // S
+        act_dev, act_np = self._normalize_active(active)
+        q_ids, q_len = self._pad_ids(questions)
+        p_ids, p_len = self._pad_ids(prompts)
+        fused = (T <= rc.exc_block_size
+                 and rc.retrieval_scorer == "mean_dot"
+                 and self._evicted_pages == 0
+                 and self._total_blocks + n - self._evicted_pages
+                 <= rc.max_blocks)
+        self.last_serve_fused = fused  # observability (ServingEngine stats)
+        if not fused:
+            self.encode_video_features(feats, active=act_np)
+            return self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
+                                max_new_tokens)
+        self._maybe_evict(n)  # rep-capacity fail-fast (never evicts here)
+        if not hasattr(self, "_serve_jit"):
+            self._serve_jit = jax.jit(functools.partial(
+                qw.serve_step, cfg=self.mcfg, rekv=rc,
+                attn_backend=self.attn_backend),
+                static_argnames=("max_new_tokens",), donate_argnames=("kvs",))
+        stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
+        stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
+                                                    np.int32)
+        mask = (jnp.ones((B,), bool) if act_dev is None else act_dev)
+        self.kvs, tokens, count = self._serve_jit(
+            self.params, kvs=self.kvs, embeds=feats, active=mask,
+            q_ids=jnp.asarray(q_ids), q_len=jnp.asarray(q_len, jnp.int32),
+            p_ids=jnp.asarray(p_ids), p_len=jnp.asarray(p_len, jnp.int32),
+            stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+        self._track_blocks(n, active=act_np)
+        return np.asarray(tokens), np.asarray(count)
+
+    def _pad_ids(self, seqs):
+        """Right-pad B token sequences to a shared power-of-two bucket.
+        -> ((B, bucket) int32, (B,) int32 true lengths)."""
+        lens = np.asarray([len(s) for s in seqs], np.int32)
+        b = _bucket(int(lens.max()), self.rekv.max_prompt_tokens)
+        assert int(lens.max()) <= b, (lens, self.rekv.max_prompt_tokens)
+        arr = np.zeros((self.batch, b), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            arr[i, :len(s)] = np.asarray(list(s), dtype=np.int32)
+        return arr, lens
+
+    def _qa_run(self, q_ids, q_len, p_ids, p_len, stop_token_ids,
+                max_new_tokens: int, retrieved_indices=None):
+        """Shared QA core over padded id arrays: picks the fused, host-tier,
+        external-indices, or layerwise-scorer path.  Returns (tokens (B, M)
+        np, count (B,) np)."""
         rc = self.rekv
         B = self.batch
 
@@ -330,32 +433,24 @@ class StreamingSession:
             arr[:, :len(ids)] = np.asarray(ids, dtype=np.int32)
             ext_idx = jnp.asarray(arr)
 
-        # --- retrieval forward over the question ---
-        qlen = len(question_ids)
-        qb = _bucket(qlen, rc.max_prompt_tokens)
-        assert qlen <= qb
-        q_ids = np.zeros((B, qb), dtype=np.int32)
-        q_ids[:, :qlen] = np.asarray(question_ids, dtype=np.int32)
-        plen = len(prompt_ids)
-        pb = _bucket(plen, rc.max_prompt_tokens)
-        assert plen <= pb, (plen, rc.max_prompt_tokens)
-        p_ids = np.zeros((B, pb), dtype=np.int32)
-        p_ids[:, :plen] = np.asarray(prompt_ids, dtype=np.int32)
         stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
         stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
                                                     np.int32)
 
+        q_len = jnp.asarray(q_len, jnp.int32)
+        p_len_j = jnp.asarray(p_len, jnp.int32)
         if rc.retrieval_scorer != "mean_dot" and ext_idx is None:
             # layer-by-layer retrieval with host work between dispatches:
             # the host-side ablation scorers (aks/dpc_knn/l2norm) pick blocks
             # between per-layer dispatches; host-tier pages are fetched the
             # same way.
-            dkvs = self._qa_retrieve_layerwise(q_ids, qlen)
+            dkvs = self._qa_retrieve_layerwise(q_ids, q_len)
             logits, dkvs = self._decode(
                 self.params, dkvs=dkvs,
                 embeds=self._embed(self.params, jnp.asarray(p_ids)),
-                n_tokens=jnp.full((B,), plen, jnp.int32))
-            last = logits[:, plen - 1]
+                n_tokens=p_len_j)
+            last = jnp.take_along_axis(
+                logits, jnp.asarray(p_len - 1)[:, None, None], axis=1)[:, 0]
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
                 stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
@@ -364,19 +459,20 @@ class StreamingSession:
             # dispatch each, exact once the chosen host pages are all staged
             # (typically 2 rounds; 1 when the table is warm or ext_idx given)
             tokens, count = self._qa_hosttier(
-                q_ids, qlen, p_ids, plen, stop_arr, max_new_tokens, ext_idx)
+                q_ids, q_len, p_ids, p_len_j, stop_arr, max_new_tokens,
+                ext_idx)
         elif ext_idx is not None:
             dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
             dkvs = self._qa_retrieve(
                 self.params, kvs=self.kvs, dkvs=dkvs,
                 embeds=self._embed(self.params, jnp.asarray(q_ids)),
-                n_tokens=jnp.full((B,), qlen, jnp.int32),
-                retrieved_indices=ext_idx)
+                n_tokens=q_len, retrieved_indices=ext_idx)
             logits, dkvs = self._decode(
                 self.params, dkvs=dkvs,
                 embeds=self._embed(self.params, jnp.asarray(p_ids)),
-                n_tokens=jnp.full((B,), plen, jnp.int32))
-            last = logits[:, plen - 1]
+                n_tokens=p_len_j)
+            last = jnp.take_along_axis(
+                logits, jnp.asarray(p_len - 1)[:, None, None], axis=1)[:, 0]
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
                 stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
@@ -384,17 +480,10 @@ class StreamingSession:
             # hot path: retrieval + prefill + greedy decode in ONE dispatch
             tokens, count = self._answer(
                 self.params, kvs=self.kvs, q_ids=jnp.asarray(q_ids),
-                q_len=jnp.full((B,), qlen, jnp.int32),
-                p_ids=jnp.asarray(p_ids),
-                p_len=jnp.full((B,), plen, jnp.int32),
+                q_len=q_len, p_ids=jnp.asarray(p_ids), p_len=p_len_j,
                 stop_ids=jnp.asarray(stop_arr),
                 max_new_tokens=max_new_tokens)
-        tokens = np.asarray(tokens)
-        count = np.asarray(count)
-        if all_streams:
-            return [[int(t) for t in tokens[b, :int(count[b])]]
-                    for b in range(B)]
-        return [int(t) for t in tokens[0, :int(count[0])]]
+        return np.asarray(tokens), np.asarray(count)
 
     # ------------------------------------------------------------------ #
     def hp_reset(self):
@@ -465,7 +554,7 @@ class StreamingSession:
         self._hp_dev = (kv, ids)
         return kv, ids
 
-    def _qa_hosttier(self, q_ids, qlen, p_ids, plen, stop_arr,
+    def _qa_hosttier(self, q_ids, q_len, p_ids, p_len, stop_arr,
                      max_new_tokens: int, ext_idx=None):
         """QA against the two-tier store via speculative prefetch.
 
@@ -488,9 +577,9 @@ class StreamingSession:
                 for l in range(L):
                     self._hp_fetch(l, b, need)
         kw = dict(q_ids=jnp.asarray(q_ids),
-                  q_len=jnp.full((B,), qlen, jnp.int32),
+                  q_len=jnp.broadcast_to(jnp.asarray(q_len, jnp.int32), (B,)),
                   p_ids=jnp.asarray(p_ids),
-                  p_len=jnp.full((B,), plen, jnp.int32),
+                  p_len=jnp.broadcast_to(jnp.asarray(p_len, jnp.int32), (B,)),
                   stop_ids=jnp.asarray(stop_arr),
                   max_new_tokens=max_new_tokens,
                   retrieved_indices=ext_idx)
@@ -517,7 +606,7 @@ class StreamingSession:
         raise RuntimeError("host-tier speculative retrieval did not converge")
 
     # ------------------------------------------------------------------ #
-    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen: int):
+    def _qa_retrieve_layerwise(self, q_ids: np.ndarray, qlen):
         """Question forward with per-layer host-side block selection.
 
         Serves the ablation scorers (aks/dpc_knn/l2norm — reference
@@ -530,7 +619,7 @@ class StreamingSession:
         rc = self.rekv
         mc = self.mcfg
         B = self.batch
-        n_tok = jnp.full((B,), qlen, jnp.int32)
+        n_tok = jnp.broadcast_to(jnp.asarray(qlen, jnp.int32), (B,))
         h = self._embed(self.params, jnp.asarray(q_ids))
         S, Hkv, D = rc.block_size, mc.num_kv_heads, mc.head_dim
 
