@@ -362,6 +362,61 @@ def bench_qa_host(warm=False, quant="none"):
     return lat[len(lat) // 2]
 
 
+def bench_serving():
+    """Fused phase-heterogeneous serving tick vs the unfused path.
+
+    B=4 multiplexed streams each ingest an 8-frame chunk (480 pruned tokens)
+    AND each answers its OWN question (ragged lengths) in the same tick —
+    the ServingEngine shape.  Fused: ONE dispatch (models.qwen2.serve_step:
+    ragged encode + retrieval + prefill + 16-token greedy decode).  Unfused:
+    the same work as an encode dispatch + a batched-QA dispatch.  The gap is
+    the dispatch overhead the fused path deletes; the reference pays one
+    process per stream and one loop per phase (abstract_rekv.py:38-87).
+    Returns (fused_ms, unfused_ms)."""
+    from stc_tpu.config import ReKVConfig, SessionConfig
+    from stc_tpu.runtime.session import StreamingSession
+    B = 4
+    text = qw.Qwen2Config(vocab_size=151936, hidden_size=896, num_layers=24,
+                          num_heads=14, num_kv_heads=2, head_dim=64,
+                          intermediate_size=4864, rope_base=1000000.0)
+    rekv = ReKVConfig(n_init=14, n_local=15000, block_size=60,
+                      exc_block_size=60 * CHUNK, topk=64, chunk_size=1,
+                      max_blocks=1024, max_prompt_tokens=256,
+                      max_new_tokens=128)
+    params = qw.init_params(text, jax.random.key(0), dtype=jnp.bfloat16)
+    sess = StreamingSession(params, text, SessionConfig(rekv=rekv), batch=B,
+                            state_dtype=jnp.bfloat16)
+    sess.encode_init_prompt(list(range(14)))
+    fast_forward(sess, STEADY_BLOCKS)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(B, 60 * CHUNK, text.hidden_size)
+                       ).astype(np.float32) * 0.02
+    qs = [list(rng.integers(1, 1000, size=n)) for n in (24, 20, 16, 24)]
+    ps = [list(rng.integers(1, 1000, size=n)) for n in (40, 36, 40, 32)]
+
+    def fused():
+        tok, cnt = sess.serve(feats, None, qs, ps, stop_token_ids=[-2],
+                              max_new_tokens=16)
+        assert sess.last_serve_fused and (cnt == 16).all()
+
+    def unfused():
+        sess.encode_video_features(feats)
+        ans = sess.question_answering_batch(qs, ps, stop_token_ids=[-2],
+                                            max_new_tokens=16)
+        assert all(len(a) == 16 for a in ans)
+
+    fused(); unfused(); hard_sync(sess)  # compile both paths
+    lat = {"fused": [], "unfused": []}
+    for rep in range(7):
+        for name, fn in (("fused", fused), ("unfused", unfused)):
+            t0 = time.perf_counter()
+            fn()
+            hard_sync(sess)
+            lat[name].append((time.perf_counter() - t0) * 1000)
+    return (statistics.median(lat["fused"]),
+            statistics.median(lat["unfused"]))
+
+
 def main():
     mode = os.getenv("BENCH_MODE", "ingest")
     if mode == "ingest":
@@ -493,6 +548,18 @@ def main():
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "serving":
+        fused_ms, unfused_ms = bench_serving()
+        print(json.dumps({
+            "metric": "fused serving tick p50 (4 multiplexed streams: "
+                      f"ragged {CHUNK}-frame encode + 4 per-stream questions "
+                      "with 16-token decode in ONE dispatch via serve_step; "
+                      "vs_baseline = speedup over the unfused encode+QA "
+                      "dispatch pair on the same session state)",
+            "value": round(fused_ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(unfused_ms / fused_ms, 3),
         }))
     elif mode == "qa_host_warm":
         ms = bench_qa_host(warm=True)
