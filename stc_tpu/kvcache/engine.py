@@ -94,6 +94,45 @@ def init_decode_kv(cfg: ReKVConfig, batch: int, n_kv_heads: int, head_dim: int,
     )
 
 
+def reset_streams(kv: StreamKV, reset: jax.Array, init_len,
+                  batch_axis: int = 0) -> StreamKV:
+    """Recycle stream slots for continuous serving: where `reset[b]` is True,
+    return slot b to its just-after-init-prompt state while the other slots'
+    streams continue untouched (the admission/retirement half of continuous
+    batching — the reference tears down a whole process per stream,
+    model/abstract_rekv.py one-session-per-process).
+
+    Counters go to zero, rep keys and page keep masks go fresh; the init
+    tokens are KEPT (serving slots share one init/system prompt, and init_k/v
+    are written identically for every slot by the init append).  Page DATA is
+    deliberately left stale: every consumer gates reads by num_blocks /
+    window positions (retrieval masks indices >= num_blocks, the window mask
+    is position-derived), and new appends overwrite slots from zero — so a
+    recycled slot is answer-identical to a fresh session without rewriting
+    the multi-GB page store.
+
+    init_len: stream length to reset to — n_init if the init prompt was
+    encoded, else 0.  batch_axis: 0 for a per-layer StreamKV, 1 for the
+    L-stacked session state.
+    """
+    B = reset.shape[0]
+
+    def bmask(x):
+        shape = [1] * x.ndim
+        shape[batch_axis] = B
+        return reset.reshape(shape)
+
+    return kv._replace(
+        block_rep=jnp.where(bmask(kv.block_rep),
+                            jnp.zeros((), kv.block_rep.dtype), kv.block_rep),
+        page_keep=jnp.where(bmask(kv.page_keep), True, kv.page_keep),
+        num_blocks=jnp.where(reset, 0, kv.num_blocks),
+        page_offset=jnp.where(reset, 0, kv.page_offset),
+        length=jnp.where(reset, jnp.asarray(init_len, kv.length.dtype),
+                         kv.length),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RoPE cache (shared across decoder layers within one step)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,8 @@ class ServingStats:
     fused_ticks: int = 0
     encode_chunks: int = 0
     answers: int = 0
+    streams_retired: int = 0
+    streams_admitted: int = 0
     # per-slot counters
     slot_chunks: List[int] = field(default_factory=list)
     slot_answers: List[int] = field(default_factory=list)
@@ -65,6 +67,7 @@ class ServingEngine:
         self._chunks = [collections.deque() for _ in range(self.n_slots)]
         self._questions = [collections.deque() for _ in range(self.n_slots)]
         self._next_rid = 0
+        self._free: set = set()  # retired slots awaiting admission
         self.stats = ServingStats(slot_chunks=[0] * self.n_slots,
                                   slot_answers=[0] * self.n_slots)
 
@@ -76,6 +79,7 @@ class ServingEngine:
         VLM session: (n_frames, H, W, 3) uint8 pixels.
         Every queued chunk must share one shape — ticks batch across slots.
         """
+        assert slot not in self._free, f"slot {slot} is retired (admit first)"
         chunk = np.asarray(chunk)
         for q in self._chunks:
             if q:
@@ -90,11 +94,42 @@ class ServingEngine:
                         prompt_ids: Sequence[int]) -> int:
         """Queue a question for `slot`; returns a request id that keys the
         answer in step()'s result dict."""
+        assert slot not in self._free, f"slot {slot} is retired (admit first)"
         rid = self._next_rid
         self._next_rid += 1
         self._questions[slot].append(
             _Request(list(question_ids), list(prompt_ids), rid))
         return rid
+
+    # ------------------------------------------------------------------ #
+    def retire(self, slot: int) -> None:
+        """A stream ended: drop its queued work, recycle its session slot
+        (counters/rep keys/cacher refs/pruner memory back to fresh-session
+        state — session.reset_streams), and mark the slot free for the next
+        incoming stream.  The other slots' streams continue untouched; the
+        reference ends a whole process per stream instead."""
+        assert 0 <= slot < self.n_slots and slot not in self._free
+        self._chunks[slot].clear()
+        self._questions[slot].clear()
+        self.sess.reset_streams([slot])
+        self._free.add(slot)
+        self.stats.streams_retired += 1
+
+    def admit(self) -> int:
+        """Claim a recycled slot for a new stream; returns the slot id.
+        Raises if no slot is free (callers queue admission at a higher
+        level — slot count is the static batch of the session)."""
+        if not self._free:
+            raise RuntimeError(
+                f"all {self.n_slots} slots are serving; retire one first")
+        slot = min(self._free)
+        self._free.discard(slot)
+        self.stats.streams_admitted += 1
+        return slot
+
+    @property
+    def free_slots(self) -> int:
+        return len(self._free)
 
     @property
     def pending(self) -> int:

@@ -156,6 +156,7 @@ class StreamingSession:
         self.host_store = HostBlockStore()
         self.hp_reset()
         self._total_blocks = 0
+        self._init_len = 0  # n_init once the init prompt is encoded
         # per-stream block counts for RAGGED ingest (encode_video* active=
         # masks); _total_blocks stays the max — every capacity check is
         # conservative over the longest stream
@@ -260,6 +261,7 @@ class StreamingSession:
         embeds = self._embed(self.params, jnp.asarray(ids))
         _, self.kvs = self._encode_init(self.params, kvs=self.kvs,
                                         embeds=embeds)
+        self._init_len = self.rekv.n_init
 
     def encode_video_features(self, feats, active=None):
         """feats: (B, n_frames*block_size, E) pruned visual features.
@@ -406,6 +408,42 @@ class StreamingSession:
             stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
         self._track_blocks(n, active=act_np)
         return np.asarray(tokens), np.asarray(count)
+
+    def reset_streams(self, slots: Sequence[int]):
+        """Recycle stream slots: return each slot in `slots` to its
+        just-after-init-prompt state while the OTHER slots' streams continue
+        untouched — the retirement/admission half of continuous batching
+        (a video ends, its slot serves the next incoming stream).  The
+        reference tears down one process per stream; here a recycled slot is
+        answer-identical to a fresh session (engine.reset_streams zeroes the
+        counters/rep keys; stale page data is unreachable by construction).
+
+        Slots keep the session-wide init/system prompt (init KV is identical
+        across slots).  Not supported once pages were evicted to the host
+        tier: eviction shifts every stream's ring uniformly, so per-slot
+        history cannot be unwound (same restriction as diverged-ragged
+        eviction)."""
+        mask = np.zeros(self.batch, dtype=bool)
+        mask[list(slots)] = True
+        assert mask.any()
+        if self._evicted_pages > 0:
+            raise RuntimeError(
+                "reset_streams with host-evicted pages is not supported: "
+                "the host tier's page ring is shared across streams. "
+                "clear_cache() the whole session, or size max_blocks to "
+                "keep serving sessions device-resident.")
+        if not hasattr(self, "_reset_jit"):
+            from stc_tpu.kvcache.engine import reset_streams as _rs
+            self._reset_jit = jax.jit(
+                functools.partial(_rs, batch_axis=1),
+                donate_argnames=("kv",))
+        self.kvs = self._reset_jit(kv=self.kvs, reset=jnp.asarray(mask),
+                                   init_len=jnp.int32(self._init_len))
+        if not self._ragged:
+            self._stream_blocks[:] = self._total_blocks
+            self._ragged = True
+        self._stream_blocks[mask] = 0
+        self._total_blocks = int(self._stream_blocks.max())
 
     def _pad_ids(self, seqs):
         """Right-pad B token sequences to a shared power-of-two bucket.
@@ -636,12 +674,18 @@ class StreamingSession:
             # aks/dpc_knn/l2norm _calc_block_topk variants)
             q, k, v, logits, _, q_mean = self._qa_logits_l(
                 lp, kv_l=kv_l, h=h, n_tokens=n_tok)
-            nb = self._total_blocks
             logits_np = np.asarray(logits, np.float32)
             reps_all = np.asarray(kv_l.block_rep, np.float32)
             q_mean_np = np.asarray(q_mean, np.float32)
             arr = np.full((B, rc.topk), -1, np.int32)
             for b in range(B):
+                # per-STREAM block count: ragged/recycled slots hold fewer
+                # blocks than the longest stream and must not score the
+                # longer streams' (or a prior tenant's) rep slots
+                nb = int(self._stream_blocks[b]) if self._ragged \
+                    else self._total_blocks
+                if nb == 0:
+                    continue
                 reps_flat = np.repeat(reps_all[b, :nb], G,
                                       axis=1).reshape(nb, -1)
                 idx = select_blocks(scorer, logits_np[b, :nb], reps_flat,

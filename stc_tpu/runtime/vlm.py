@@ -201,6 +201,22 @@ class VLMSession(StreamingSession):
         if hasattr(self, "_all_params"):
             self._reset_vision()
 
+    def reset_streams(self, slots):
+        """Slot recycling on the pixel path: also returns the recycled
+        slots' cacher references and pruner running memory to fresh-session
+        state (via the pipelines' per-stream select_streams), and rewinds
+        chunk_idx to 0 so the NEXT chunk is a full-compute chunk for every
+        stream — full compute is always exact, and it refreshes the live
+        streams' cacher references alongside the new tenant's (the cacher
+        interval is a session-wide schedule, reference abstract_rekv.py:59)."""
+        super().reset_streams(slots)
+        mask = np.zeros(self.batch, dtype=bool)
+        mask[list(slots)] = True
+        fresh_v, fresh_p = self.vision.init_state()
+        self._vstate, self._pstate = self.vision.select_streams(
+            fresh_v, fresh_p, self._vstate, self._pstate, jnp.asarray(mask))
+        self.chunk_idx = 0
+
     def encode_video(self, frames, active=None):
         """frames: (n, H, W, 3) single stream or (B, n, H, W, 3) multi-stream
         (B must equal the session batch).  A jax.Array input is treated as
