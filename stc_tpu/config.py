@@ -90,6 +90,16 @@ class ReKVConfig:
     # scales — half the bytes, ~0.5% KV error on refetch; the reference has
     # no equivalent, its CPU offload is always fp16)
     host_kv_quant: str = "none"
+    # Prompt-lookup speculative decoding for the QA decode loop (beyond
+    # reference — its decode is a per-token python loop).  Each while_loop
+    # round drafts spec_decode_draft tokens by matching the last
+    # spec_decode_ngram committed tokens against the question+prompt+
+    # generated history and verifies all drafts in ONE decode_step (the
+    # weight read is the per-round cost, so K accepted drafts ≈ K tokens for
+    # one token's HBM traffic).  EXACT greedy by construction: a draft is
+    # committed only when it equals the model's own greedy choice.  0 = off.
+    spec_decode_draft: int = 0
+    spec_decode_ngram: int = 3
 
     def __post_init__(self):
         assert self.exc_block_size <= self.n_local
@@ -104,6 +114,7 @@ class ReKVConfig:
         assert self.kv_quant in ("none", "int8", "int4"), self.kv_quant
         assert self.window_kv_compression in ("none", "select_top_half"), \
             self.window_kv_compression
+        assert self.spec_decode_draft >= 0 and self.spec_decode_ngram >= 1
 
     @property
     def rep_cap(self) -> int:
@@ -132,9 +143,13 @@ class ReKVConfig:
 
     @property
     def decode_cap(self) -> int:
-        """Static capacity of the per-question decode KV cache."""
+        """Static capacity of the per-question decode KV cache (speculative
+        rounds transiently write up to spec_decode_draft rows past the last
+        committed token before the cursor rewind)."""
         return _round_up(
-            self.retrieve_len + self.max_prompt_tokens + self.max_new_tokens, 128
+            self.retrieve_len + self.max_prompt_tokens + self.max_new_tokens
+            + (self.spec_decode_draft + 1 if self.spec_decode_draft else 0),
+            128
         )
 
     @property

@@ -426,8 +426,13 @@ def answer_question_hosttier(params, cfg: Qwen2Config, rekv: ReKVConfig,
                                    embed_tokens(params, p_ids), p_len)
         last = jnp.take_along_axis(logits, (p_len - 1)[:, None, None],
                                    axis=1)[:, 0]
+        ctx_ids = ctx_len = None
+        if rekv.spec_decode_draft > 0:
+            ctx_ids, ctx_len = build_spec_ctx(q_ids, q_len, p_ids, p_len,
+                                              max_new_tokens)
         tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
-                                         stop_ids, max_new_tokens)
+                                         stop_ids, max_new_tokens,
+                                         ctx_ids=ctx_ids, ctx_len=ctx_len)
         return tokens, count
 
     def skip(dkvs):
@@ -506,8 +511,13 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
                                embed_tokens(params, p_ids), p_len)
     last = jnp.take_along_axis(logits, (p_len - 1)[:, None, None],
                                axis=1)[:, 0]
+    ctx_ids = ctx_len = None
+    if rekv.spec_decode_draft > 0:
+        ctx_ids, ctx_len = build_spec_ctx(q_ids, q_len, p_ids, p_len,
+                                          max_new_tokens)
     tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
-                                     stop_ids, max_new_tokens)
+                                     stop_ids, max_new_tokens,
+                                     ctx_ids=ctx_ids, ctx_len=ctx_len)
     return tokens, count
 
 
@@ -590,9 +600,157 @@ def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
     return h, dkv_q.k, dkv_q.v, valid_len
 
 
+def build_spec_ctx(q_ids, q_len, p_ids, p_len, max_new_tokens: int):
+    """Compact the question + prompt tokens into one per-stream lookup
+    buffer for prompt-lookup speculative decoding, with room for the
+    generated tokens.  Returns (ctx (B, C) int32, ctx_len (B,))."""
+    B, Tq = q_ids.shape
+    Tp = p_ids.shape[1]
+    C = Tq + Tp + max_new_tokens + 2
+    ctx = jnp.zeros((B, C), jnp.int32)
+    jq = jnp.arange(Tq, dtype=jnp.int32)
+    ctx = ctx.at[:, :Tq].set(jnp.where(jq[None, :] < q_len[:, None],
+                                       q_ids, 0))
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    jp = jnp.arange(Tp, dtype=jnp.int32)
+    pos = q_len[:, None] + jp[None, :]
+    ctx = ctx.at[bidx, pos].set(jnp.where(jp[None, :] < p_len[:, None],
+                                          p_ids, 0))
+    return ctx, q_len + p_len
+
+
+def _spec_draft(ctx: jax.Array, ctx_len: jax.Array, K: int, N: int):
+    """Draft K tokens per stream by the longest-suffix n-gram match.
+
+    Finds the most recent position whose trailing n-gram (up to N tokens)
+    equals the committed suffix and proposes the K tokens that followed it
+    (prompt-lookup decoding).  A bad draft is harmless: it is committed only
+    if it equals the model's own greedy choice."""
+    B, C = ctx.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # g[:, j] = the (j+1)-th-last committed token
+    gpos = ctx_len[:, None] - 1 - jnp.arange(N, dtype=jnp.int32)[None, :]
+    g = ctx[bidx, jnp.clip(gpos, 0, C - 1)]
+    gvalid = gpos >= 0
+    score = jnp.zeros((B, C), jnp.int32)
+    run = jnp.ones((B, C), bool)
+    for j in range(N):  # static, small
+        shifted = jnp.pad(ctx, ((0, 0), (j, 0)))[:, :C]       # ctx[t - j]
+        run = run & (shifted == g[:, j:j + 1]) & gvalid[:, j:j + 1]
+        score = score + run.astype(jnp.int32)
+    t = jnp.arange(C, dtype=jnp.int32)[None, :]
+    # exclude the committed suffix itself and anything at/after the end
+    score = jnp.where(t < ctx_len[:, None] - 1, score, 0)
+    best = jnp.argmax(score * C + t, axis=1).astype(jnp.int32)  # recency ties
+    has = jnp.take_along_axis(score, best[:, None], axis=1) > 0
+    dpos = best[:, None] + 1 + jnp.arange(K, dtype=jnp.int32)[None, :]
+    draft = ctx[bidx, jnp.clip(dpos, 0, C - 1)]
+    return jnp.where(has & (dpos < C), draft, 0)
+
+
+def lookahead_decode(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                     dkvs: DecodeKV, last_logits: jax.Array,
+                     stop_ids: jax.Array, max_new_tokens: int,
+                     ctx_ids: jax.Array, ctx_len: jax.Array
+                     ) -> Tuple[jax.Array, jax.Array, DecodeKV]:
+    """EXACT-greedy speculative decode via prompt lookup, one dispatch.
+
+    Each while_loop round: commit the verified next token, draft K tokens by
+    n-gram lookup over [question | prompt | generated] (ctx_ids/ctx_len from
+    build_spec_ctx), then run ONE decode_step over all K+1 tokens and keep
+    the longest draft prefix that equals the model's own greedy choices —
+    so the output is bit-identical to greedy_decode, but one weight read
+    (the per-round cost on a bandwidth-bound decode) can commit up to K+1
+    tokens.  The cursor rewinds past rejected rows; stale rows are masked
+    (decode_attend gates on cursor) and overwritten by the next round.
+
+    Beyond reference: its decode is a strictly sequential per-token python
+    loop (llava_onevision_rekv.py:105-143), whose anti-EOS-at-step-0 rule is
+    preserved here.  Returns (tokens (B, max_new_tokens), n_generated (B,),
+    dkvs).
+    """
+    B, V = last_logits.shape
+    K = rekv.spec_decode_draft
+    N = rekv.spec_decode_ngram
+    C = ctx_ids.shape[1]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def is_stop(tok):
+        return jnp.any(tok[:, None] == stop_ids[None, :], axis=1)
+
+    def pick(logits, pos):
+        _, top2 = jax.lax.top_k(logits, 2)
+        tok = top2[:, 0]
+        tok = jnp.where((pos == 0) & is_stop(tok), top2[:, 1], tok)
+        return tok.astype(jnp.int32)
+
+    def cond(state):
+        it, pos, _, _, done, _, _, _ = state
+        live = ~done & (pos < max_new_tokens)
+        return (it < max_new_tokens) & jnp.any(live)
+
+    def body(state):
+        it, pos, logits, tokens, done, dkvs, ctx, cl = state
+        tok0 = pick(logits, pos)
+        # append tok0 to the lookup history so drafts condition on it
+        slot = jnp.clip(cl, 0, C - 1)[:, None]
+        cur = ctx[bidx, slot]
+        ctx = ctx.at[bidx, slot].set(jnp.where(~done[:, None],
+                                               tok0[:, None], cur))
+        cl = cl + (~done).astype(jnp.int32)
+        draft = _spec_draft(ctx, cl, K, N)
+        seq = jnp.concatenate([tok0[:, None], draft], axis=1)   # (B, K+1)
+
+        start = dkvs.cursor
+        logits_all, dkvs = decode_step(params, cfg, rekv, dkvs,
+                                       embed_tokens(params, seq),
+                                       jnp.full((B,), K + 1, jnp.int32))
+        y = jnp.argmax(logits_all, axis=-1).astype(jnp.int32)   # (B, K+1)
+        acc = jnp.cumprod((draft == y[:, :K]).astype(jnp.int32), axis=1)
+        n_draft = acc.sum(axis=1)                               # (B,)
+
+        # record the committed run seq[0 .. n_draft], truncated at the
+        # first stop token and at the decode budget (static K+1 unroll)
+        committed = jnp.zeros((B,), jnp.int32)
+        d = done
+        for t in range(K + 1):
+            tk = seq[:, t]
+            can = (~d) & (t <= n_draft) & (pos + committed < max_new_tokens)
+            wpos = jnp.clip(pos + committed, 0, max_new_tokens - 1)[:, None]
+            old = tokens[bidx, wpos]
+            tokens = tokens.at[bidx, wpos].set(
+                jnp.where(can[:, None], tk[:, None], old))
+            if t > 0:  # accepted drafts extend the lookup history too
+                cslot = jnp.clip(cl, 0, C - 1)[:, None]
+                cold = ctx[bidx, cslot]
+                ctx = ctx.at[bidx, cslot].set(
+                    jnp.where(can[:, None], tk[:, None], cold))
+                cl = cl + can.astype(jnp.int32)
+            committed = committed + can.astype(jnp.int32)
+            d = d | (can & is_stop(tk))
+
+        # next round's logits follow the LAST committed token; rewind the
+        # cursor past the rejected rows (per-layer cursors move in lockstep)
+        lidx = jnp.clip(committed - 1, 0, K)[:, None, None]
+        logits_next = jnp.take_along_axis(logits_all, lidx, axis=1)[:, 0]
+        dkvs = dkvs._replace(cursor=start + committed[None, :])
+        return (it + 1, pos + committed, logits_next, tokens, d, dkvs,
+                ctx, cl)
+
+    tokens0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    state = (jnp.asarray(0, jnp.int32), jnp.zeros((B,), jnp.int32),
+             last_logits, tokens0, jnp.zeros((B,), bool), dkvs,
+             jnp.asarray(ctx_ids, jnp.int32),
+             jnp.asarray(ctx_len, jnp.int32))
+    _, pos, _, tokens, _, dkvs, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, pos, dkvs
+
+
 def greedy_decode(params, cfg: Qwen2Config, rekv: ReKVConfig,
                   dkvs: DecodeKV, last_logits: jax.Array,
-                  stop_ids: jax.Array, max_new_tokens: int
+                  stop_ids: jax.Array, max_new_tokens: int,
+                  ctx_ids: jax.Array | None = None,
+                  ctx_len: jax.Array | None = None
                   ) -> Tuple[jax.Array, jax.Array, DecodeKV]:
     """On-device greedy decode loop (single dispatch for the whole answer).
 
@@ -600,8 +758,14 @@ def greedy_decode(params, cfg: Qwen2Config, rekv: ReKVConfig,
     stop_ids: (n_stop,) int32 (pad with -1).
     Replicates the reference loop (llava_onevision_rekv.py:105-143) including
     the anti-EOS-at-step-0 top-2 fallback.
+    ctx_ids/ctx_len: optional lookup history (build_spec_ctx) — with
+    ReKVConfig.spec_decode_draft > 0 the loop runs prompt-lookup speculative
+    decoding instead (bit-identical output, fewer weight reads).
     Returns (tokens (B, max_new_tokens), n_generated (B,), dkvs).
     """
+    if rekv.spec_decode_draft > 0 and ctx_ids is not None:
+        return lookahead_decode(params, cfg, rekv, dkvs, last_logits,
+                                stop_ids, max_new_tokens, ctx_ids, ctx_len)
     B = last_logits.shape[0]
 
     def is_stop(tok):

@@ -477,6 +477,12 @@ class StreamingSession:
 
         q_len = jnp.asarray(q_len, jnp.int32)
         p_len_j = jnp.asarray(p_len, jnp.int32)
+        ctx_kw = {}
+        if rc.spec_decode_draft > 0:
+            c_ids, c_len = qw.build_spec_ctx(
+                jnp.asarray(q_ids), q_len, jnp.asarray(p_ids), p_len_j,
+                max_new_tokens)
+            ctx_kw = dict(ctx_ids=c_ids, ctx_len=c_len)
         if rc.retrieval_scorer != "mean_dot" and ext_idx is None:
             # layer-by-layer retrieval with host work between dispatches:
             # the host-side ablation scorers (aks/dpc_knn/l2norm) pick blocks
@@ -491,7 +497,8 @@ class StreamingSession:
                 logits, jnp.asarray(p_len - 1)[:, None, None], axis=1)[:, 0]
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
-                stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+                stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens,
+                **ctx_kw)
         elif self._evicted_pages > 0:
             # two-tier store: speculative-prefetch QA — whole rounds in ONE
             # dispatch each, exact once the chosen host pages are all staged
@@ -513,7 +520,8 @@ class StreamingSession:
                 logits, jnp.asarray(p_len - 1)[:, None, None], axis=1)[:, 0]
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
-                stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+                stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens,
+                **ctx_kw)
         else:
             # hot path: retrieval + prefill + greedy decode in ONE dispatch
             tokens, count = self._answer(
