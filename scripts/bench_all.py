@@ -30,6 +30,7 @@ MODES = [
     ("ingest_kvq", {}),
     ("ingest_kvq4", {}),
     ("qa", {}),
+    ("qa_spec", {}),
     ("qa_host", {}),
     ("qa_host_int8", {}),
     ("qa_host_kvq", {}),
@@ -43,6 +44,7 @@ MODES = [
     ("serving", {}),
     ("7b", {"BENCH_FRAMES": "48"}),
     ("qa_7b", {}),
+    ("qa_7b_spec", {}),
 ]
 
 
