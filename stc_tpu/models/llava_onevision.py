@@ -207,6 +207,9 @@ class LlavaOVVision:
         return (jax.tree.map(sel(1), vstate, old_vstate),
                 jax.tree.map(sel(0), pstate, old_pstate))
 
+    def stream_axes(self):
+        return (1, 0)  # cacher refs (L, B, T, C); pruner memory (B, ...)
+
     def _post(self, params, feats, pstate):
         B = self.batch
         feats = project(params["projector"], feats)

@@ -117,6 +117,14 @@ class VisionPipeline:
             f"{type(self).__name__} does not support ragged (active-masked) "
             "multi-stream ingest: its vision state has no stream axis")
 
+    def stream_axes(self):
+        """(vstate_axis, pstate_axis) of the per-stream dim — used by
+        per-slot checkpoint/migration (utils/checkpoint.save_stream_state).
+        Pipelines with a stream axis override this alongside
+        select_streams."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no per-stream vision state axis")
+
 
 class VLMSession(StreamingSession):
     def __init__(self, params: Dict[str, Any], text_cfg, scfg: SessionConfig,

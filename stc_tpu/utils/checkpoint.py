@@ -20,6 +20,12 @@ def _session_state(session):
         "chunk_idx": getattr(session, "chunk_idx", 0),
         "total_blocks": getattr(session, "_total_blocks", 0),
         "evicted_pages": getattr(session, "_evicted_pages", 0),
+        # ragged/serving-era per-stream counters: a ragged session restored
+        # without them would come back uniform (silent per-stream corruption)
+        "stream_blocks": np.asarray(getattr(
+            session, "_stream_blocks", np.zeros(session.batch, np.int64))),
+        "ragged": int(getattr(session, "_ragged", False)),
+        "init_len": int(getattr(session, "_init_len", 0)),
         "vstate": getattr(session, "_vstate", ()),
         "pstate": getattr(session, "_pstate", ()),
     }
@@ -65,6 +71,10 @@ def load_session_state(session, path: str):
     session.chunk_idx = int(state["chunk_idx"])
     session._total_blocks = int(state["total_blocks"])
     session._evicted_pages = int(state["evicted_pages"])
+    session._stream_blocks = np.asarray(state["stream_blocks"],
+                                        np.int64).copy()
+    session._ragged = bool(int(state["ragged"]))
+    session._init_len = int(state["init_len"])
     if hasattr(session, "_vstate"):
         session._vstate = state["vstate"]
         session._pstate = state["pstate"]
@@ -75,4 +85,100 @@ def load_session_state(session, path: str):
             data[f"host_ks_{i}"] if f"host_ks_{i}" in data else None,
             data[f"host_vs_{i}"] if f"host_vs_{i}" in data else None)
         i += 1
+    return session
+
+
+# ---------------------------------------------------------------------------
+# Per-stream (slot) checkpoint: stream migration between serving sessions
+# ---------------------------------------------------------------------------
+
+def _stream_state(session, slot: int):
+    """One slot's live state as a host pytree (kvs leaves are (L, B, ...)
+    stacked; the batch axis is 1)."""
+    assert session._evicted_pages == 0, (
+        "per-stream extract with host-evicted pages is not supported: the "
+        "host tier's page ring is shared across streams (same restriction "
+        "as reset_streams)")
+    state = {"kvs": jax.tree.map(lambda x: np.asarray(x[:, slot]),
+                                 session.kvs)}
+    vision = getattr(session, "vision", None)
+    if vision is not None:
+        va, pa = vision.stream_axes()
+        state["vstate"] = jax.tree.map(
+            lambda x: np.asarray(jnp.take(x, slot, axis=va)),
+            session._vstate)
+        state["pstate"] = jax.tree.map(
+            lambda x: np.asarray(jnp.take(x, slot, axis=pa)),
+            session._pstate)
+    return state
+
+
+def save_stream_state(session, slot: int, path: str):
+    """Checkpoint ONE stream slot of a (batched) serving session — the
+    migration half of continuous batching: drain a finished host's stream to
+    disk and restore it into any free slot of another session built with the
+    same configs.  The reference cannot express this (its per-stream state is
+    a whole process).  Counters ride along; the shared init prompt does not
+    (both sessions encode it at build time)."""
+    state = _stream_state(session, slot)
+    leaves, _ = jax.tree.flatten(state)
+    arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrs["blocks"] = np.asarray(
+        int(session._stream_blocks[slot]) if session._ragged
+        else session._total_blocks)
+    arrs["init_len"] = np.asarray(session._init_len)
+    np.savez_compressed(path, **arrs)
+    return path
+
+
+def load_stream_state(session, slot: int, path: str):
+    """Restore a stream saved by save_stream_state into `slot` (typically a
+    recycled slot — ServingEngine.retire/admit).  The other slots' streams
+    are untouched.  On a VLM session the cacher schedule rewinds to a
+    full-compute chunk, exactly as after reset_streams."""
+    data = np.load(path, allow_pickle=False)
+    assert int(data["init_len"]) == session._init_len, (
+        "init prompt length mismatch: the migrated stream was encoded with "
+        f"n_init={int(data['init_len'])}, this session has "
+        f"{session._init_len} (init prompts must match across hosts)")
+    assert session._evicted_pages == 0, (
+        "per-stream restore into a session with host-evicted pages is not "
+        "supported (shared host page ring)")
+    state = _stream_state(session, slot)
+    leaves, treedef = jax.tree.flatten(state)
+    n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+    assert n_saved == len(leaves), (
+        f"stream blob has {n_saved} leaves, session expects {len(leaves)} "
+        "(VLM and bare sessions are not interchangeable)")
+    new_leaves = []
+    for i, old in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        assert arr.shape == np.asarray(old).shape, (
+            f"leaf {i}: saved {arr.shape} vs session "
+            f"{np.asarray(old).shape} — configs must match")
+        new_leaves.append(arr)
+    state = jax.tree.unflatten(treedef, new_leaves)
+    session.kvs = jax.tree.map(
+        lambda cur, new: cur.at[:, slot].set(jnp.asarray(new, cur.dtype)),
+        session.kvs, state["kvs"])
+    vision = getattr(session, "vision", None)
+    if vision is not None:
+        va, pa = vision.stream_axes()
+
+        def put(axis):
+            def f(cur, new):
+                idx = (slice(None),) * axis + (slot,)
+                return cur.at[idx].set(jnp.asarray(new, cur.dtype))
+            return f
+
+        session._vstate = jax.tree.map(put(va), session._vstate,
+                                       state["vstate"])
+        session._pstate = jax.tree.map(put(pa), session._pstate,
+                                       state["pstate"])
+        session.chunk_idx = 0
+    if not session._ragged:
+        session._stream_blocks[:] = session._total_blocks
+        session._ragged = True
+    session._stream_blocks[slot] = int(data["blocks"])
+    session._total_blocks = int(session._stream_blocks.max())
     return session

@@ -76,13 +76,13 @@ def make_frames(seed=0):
     return rng.integers(0, 256, size=(N_FRAMES, 56, 56, 3), dtype=np.uint8)
 
 
-def tpu_session(checkpoint, cacher: str):
+def tpu_session(checkpoint, cacher: str, spec: int = 0):
     from stc_tpu.models.llava_onevision import load_llava_ov_7b
     scfg = SessionConfig(
         rekv=ReKVConfig(n_init=len(INIT_IDS), n_local=N_LOCAL,
                         block_size=KEEP, exc_block_size=KEEP, topk=TOPK,
                         chunk_size=1, max_blocks=72, max_prompt_tokens=8,
-                        max_new_tokens=8),
+                        max_new_tokens=8, spec_decode_draft=spec),
         cacher=CacherConfig(strategy=cacher, update_token_ratio=0.5,
                             cache_interval=2),
         pruner=PrunerConfig(strategy="stc", token_per_frame=KEEP),
@@ -165,6 +165,27 @@ def test_answers_and_retrieval_match_reference_model_loop(checkpoint,
         assert got_idx == ref_idx, (cacher, qs, got_idx, ref_idx)
         # real retrieval happened (not everything fits in topk)
         assert all(len(layer) == TOPK for layer in ref_idx)
+
+
+def test_spec_decode_matches_reference_model_loop(checkpoint):
+    """Prompt-lookup speculative decoding still matches the reference's own
+    torch QA loop token for token — speculation changes latency, never the
+    answer (drafts commit only when they equal the greedy choice)."""
+    frames = make_frames(seed=5)
+
+    ref = ref_session(checkpoint, "none")
+    ref.clear_cache()
+    ref.encode_init_prompt()
+    ref.encode_video(frames)
+
+    sess = tpu_session(checkpoint, "none", spec=3)
+    sess.encode_init_prompt(INIT_IDS)
+    sess.encode_video(frames)
+
+    for qs, qi, ps, pi in QUESTIONS[:2]:
+        ref_ids, _ = ref_qa(ref, qs, ps, max_new_tokens=6)
+        got_ids = sess.question_answering(qi, pi, [0], max_new_tokens=6)
+        assert got_ids == ref_ids, (qs, got_ids, ref_ids)
 
 
 def test_stream_continues_after_qa_matches_reference(checkpoint):
