@@ -274,6 +274,8 @@ class SessionConfig:
             decode_attn_backend=os.getenv("STC_DECODE_ATTN_BACKEND", "jnp"),
             kv_quant=os.getenv("STC_KV_QUANT", "none"),
             host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "none"),
+            spec_decode_draft=int(os.getenv("STC_SPEC_DECODE_DRAFT", "0")),
+            spec_decode_ngram=int(os.getenv("STC_SPEC_DECODE_NGRAM", "3")),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,
                    encode_chunk_frames=chunk_frames,
