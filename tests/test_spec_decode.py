@@ -145,6 +145,24 @@ def test_spec_in_fused_serve_tick():
                                       tok_on[b, :cnt_on[b]])
 
 
+def test_spec_matches_greedy_pallas_decode_backend():
+    """Speculation under the fused Pallas decode kernel: the K+1-token
+    verify step's q_slots are affine (start + t), satisfying the kernel's
+    contract; answers must equal the jnp backend's with and without spec."""
+    rc_p = dataclasses.replace(RC, decode_attn_backend="pallas_interpret")
+    spec_p = dataclasses.replace(SPEC, decode_attn_backend="pallas_interpret")
+    off, on = _pair(2, rc_p, spec_p, seed=13)
+    ref, _ = _pair(2, RC, SPEC, seed=13)  # jnp-backend oracle
+    q, p = QUESTIONS[0]
+    want = ref.question_answering_batch([q, q], [p, p], STOP,
+                                        max_new_tokens=8)
+    got_off = off.question_answering_batch([q, q], [p, p], STOP,
+                                           max_new_tokens=8)
+    got_on = on.question_answering_batch([q, q], [p, p], STOP,
+                                         max_new_tokens=8)
+    assert got_on == got_off == want
+
+
 def test_spec_accepts_repetitive_continuations():
     """On a forced-repetition decode the lookahead loop converges in far
     fewer rounds than tokens: drive lookahead_decode directly against
