@@ -46,7 +46,6 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import dataclasses
     import jax.numpy as jnp
     from stc_tpu.config import ReKVConfig, SessionConfig
     from stc_tpu.models import qwen2 as qw
@@ -97,7 +96,7 @@ def main():
     for tick in range(args.ticks):
         # per-slot arrival pattern: slot s ticks every s+1 steps
         for s in range(args.slots):
-            if s in eng._free:
+            if eng.is_free(s):
                 continue
             if tick % (s + 1) == 0:
                 eng.submit_chunk(s, chunk())

@@ -131,6 +131,10 @@ class ServingEngine:
     def free_slots(self) -> int:
         return len(self._free)
 
+    def is_free(self, slot: int) -> bool:
+        """True if `slot` is retired and awaiting admission."""
+        return slot in self._free
+
     @property
     def pending(self) -> int:
         return (sum(len(q) for q in self._chunks)

@@ -212,16 +212,19 @@ class StreamingSession:
                 self.host_store.append(np.asarray(ev_k), np.asarray(ev_v))
             self._evicted_pages += E
 
+    def _ensure_ragged(self):
+        """Adopt the scalar history as uniform per-stream counters (covers
+        states fast-forwarded by tests/benches via _total_blocks)."""
+        if not self._ragged:
+            self._stream_blocks[:] = self._total_blocks
+            self._ragged = True
+
     def _track_blocks(self, n: int, active=None):
         if active is None:
             self._total_blocks += n
             self._stream_blocks += n
             return
-        if not self._ragged:
-            # first ragged tick: adopt the scalar history as uniform (covers
-            # states fast-forwarded by tests/benches via _total_blocks)
-            self._stream_blocks[:] = self._total_blocks
-            self._ragged = True
+        self._ensure_ragged()
         self._stream_blocks += n * np.asarray(active, dtype=np.int64)
         self._total_blocks = int(self._stream_blocks.max())
 
@@ -439,9 +442,7 @@ class StreamingSession:
                 donate_argnames=("kv",))
         self.kvs = self._reset_jit(kv=self.kvs, reset=jnp.asarray(mask),
                                    init_len=jnp.int32(self._init_len))
-        if not self._ragged:
-            self._stream_blocks[:] = self._total_blocks
-            self._ragged = True
+        self._ensure_ragged()
         self._stream_blocks[mask] = 0
         self._total_blocks = int(self._stream_blocks.max())
 
@@ -477,12 +478,18 @@ class StreamingSession:
 
         q_len = jnp.asarray(q_len, jnp.int32)
         p_len_j = jnp.asarray(p_len, jnp.int32)
-        ctx_kw = {}
-        if rc.spec_decode_draft > 0:
+
+        def ctx_kw():
+            # lookup history for the layerwise/ext-idx _greedy calls only:
+            # the fused and host-tier paths build it INSIDE their own jits
+            # (building it here would cost un-jitted dispatches per question)
+            if rc.spec_decode_draft == 0:
+                return {}
             c_ids, c_len = qw.build_spec_ctx(
                 jnp.asarray(q_ids), q_len, jnp.asarray(p_ids), p_len_j,
                 max_new_tokens)
-            ctx_kw = dict(ctx_ids=c_ids, ctx_len=c_len)
+            return dict(ctx_ids=c_ids, ctx_len=c_len)
+
         if rc.retrieval_scorer != "mean_dot" and ext_idx is None:
             # layer-by-layer retrieval with host work between dispatches:
             # the host-side ablation scorers (aks/dpc_knn/l2norm) pick blocks
@@ -498,7 +505,7 @@ class StreamingSession:
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
                 stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens,
-                **ctx_kw)
+                **ctx_kw())
         elif self._evicted_pages > 0:
             # two-tier store: speculative-prefetch QA — whole rounds in ONE
             # dispatch each, exact once the chosen host pages are all staged
@@ -521,7 +528,7 @@ class StreamingSession:
             tokens, count, dkvs = self._greedy(
                 self.params, dkvs=dkvs, last_logits=last,
                 stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens,
-                **ctx_kw)
+                **ctx_kw())
         else:
             # hot path: retrieval + prefill + greedy decode in ONE dispatch
             tokens, count = self._answer(

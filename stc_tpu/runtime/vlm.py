@@ -178,8 +178,41 @@ class VLMSession(StreamingSession):
                                                  pstate, active)
             return new_kvs, new_v, new_p
 
+        def _frame_mixed(params, pixels, kvs, vstate, pstate, need_full,
+                         active=None, *, bucket):
+            """PER-SLOT cacher schedule tick: slots whose own chunk counter
+            lands on a full-compute chunk (fresh/recycled/migrated streams,
+            ragged slots at different rates) ride the full path while the
+            rest ride the cacher — both computed in the one dispatch,
+            selected per slot.  Costs one extra vision pass only on ticks
+            where slots disagree; live slots' features stay bit-identical to
+            an unchurned session."""
+            px = vision.device_preprocess(pixels)
+            flat_f, v_f, p_f = vision.full(params, px, vstate, pstate)
+            flat_c, v_c, p_c = vision.cached(params, px, vstate, pstate)
+            B = need_full.shape[0]
+            flat = jnp.where(need_full.reshape(B, 1, 1), flat_f, flat_c)
+            new_v, new_p = vision.select_streams(v_f, p_f, v_c, p_c,
+                                                 need_full)
+            S = rekv.block_size
+            assert flat.shape[1] % S == 0, (flat.shape, S)
+            backend = (self.attn_backend if bucket >= self._W else
+                       ("jnp" if self.attn_backend == "pallas"
+                        else self.attn_backend))
+            exc = rekv.exc_block_size
+            for i in range(0, flat.shape[1], exc):
+                _, kvs = qw.encode_step(params["text"], text_cfg, rekv, kvs,
+                                        flat[:, i:i + exc], is_init=False,
+                                        attn_backend=backend,
+                                        win_pages=bucket, active=active)
+            if active is not None:
+                new_v, new_p = vision.select_streams(new_v, new_p, vstate,
+                                                     pstate, active)
+            return kvs, new_v, new_p
+
         self._frame_fn = _frame
         self._frame_ragged_fn = _frame_ragged
+        self._frame_mixed_fn = _frame_mixed
         self._frame_jits = {}
         self._reset_vision()
 
@@ -194,6 +227,14 @@ class VLMSession(StreamingSession):
                 donate_argnames=donate)
         return self._frame_jits[key]
 
+    def _get_mixed_jit(self, bucket: int):
+        key = ("mixed", bucket)
+        if key not in self._frame_jits:
+            self._frame_jits[key] = jax.jit(
+                functools.partial(self._frame_mixed_fn, bucket=bucket),
+                donate_argnames=("kvs",))
+        return self._frame_jits[key]
+
     def _bucket(self, blocks_after: int) -> int:
         b = 8
         while b < min(blocks_after, self._W):
@@ -202,6 +243,11 @@ class VLMSession(StreamingSession):
 
     def _reset_vision(self):
         self.chunk_idx = 0
+        # PER-SLOT cacher schedule: each stream's full-vs-cached parity
+        # follows its own chunk counter (reference semantics — one stream
+        # per process means one counter per stream there too).  Churned /
+        # ragged slots can disagree; those ticks take the mixed-path jit.
+        self._slot_chunk = np.zeros(self.batch, dtype=np.int64)
         self._vstate, self._pstate = self.vision.init_state()
 
     def clear_cache(self):
@@ -211,19 +257,19 @@ class VLMSession(StreamingSession):
 
     def reset_streams(self, slots):
         """Slot recycling on the pixel path: also returns the recycled
-        slots' cacher references and pruner running memory to fresh-session
-        state (via the pipelines' per-stream select_streams), and rewinds
-        chunk_idx to 0 so the NEXT chunk is a full-compute chunk for every
-        stream — full compute is always exact, and it refreshes the live
-        streams' cacher references alongside the new tenant's (the cacher
-        interval is a session-wide schedule, reference abstract_rekv.py:59)."""
+        slots' cacher references, pruner running memory, and PER-SLOT chunk
+        counter to fresh-session state (via the pipelines' per-stream
+        select_streams).  The recycled slot's next chunk is a full-compute
+        chunk — exactly like a fresh session — while every live slot keeps
+        its own schedule bit-identically (the mixed-path jit serves ticks
+        where slots disagree)."""
         super().reset_streams(slots)
         mask = np.zeros(self.batch, dtype=bool)
         mask[list(slots)] = True
         fresh_v, fresh_p = self.vision.init_state()
         self._vstate, self._pstate = self.vision.select_streams(
             fresh_v, fresh_p, self._vstate, self._pstate, jnp.asarray(mask))
-        self.chunk_idx = 0
+        self._slot_chunk[mask] = 0
 
     def encode_video(self, frames, active=None):
         """frames: (n, H, W, 3) single stream or (B, n, H, W, 3) multi-stream
@@ -258,25 +304,44 @@ class VLMSession(StreamingSession):
                                   active)
 
     def _encode_chunk_pixels(self, pixels, n_frames: int, active=None):
-        use_cached = (self.scfg.cacher.enabled
-                      and self.chunk_idx % self.scfg.cacher.cache_interval
-                      != 0)
         act_dev, act_np = self._normalize_active(active)
         self._maybe_evict(n_frames)
         resident_after = (self._total_blocks + n_frames
                           - self._evicted_pages)
         bucket = self._bucket(resident_after)
-        fn = self._get_frame_jit(use_cached, bucket,
-                                 ragged=act_dev is not None)
-        if act_dev is None:
-            self.kvs, self._vstate, self._pstate = fn(
-                self._all_params, pixels, kvs=self.kvs,
-                vstate=self._vstate, pstate=self._pstate)
+        # per-SLOT cacher parity (slot_chunk % interval); the dispatch shape
+        # is decided by the slots that actually tick this round
+        cached_mask = (self.scfg.cacher.enabled
+                       & (self._slot_chunk % self.scfg.cacher.cache_interval
+                          != 0))
+        ticking = cached_mask if act_np is None else cached_mask[act_np]
+        if ticking.size and ticking.any() and not ticking.all():
+            fn = self._get_mixed_jit(bucket)
+            need_full = jnp.asarray(~cached_mask)
+            if act_dev is None:
+                self.kvs, self._vstate, self._pstate = fn(
+                    self._all_params, pixels, kvs=self.kvs,
+                    vstate=self._vstate, pstate=self._pstate,
+                    need_full=need_full)
+            else:
+                self.kvs, self._vstate, self._pstate = fn(
+                    self._all_params, pixels, kvs=self.kvs,
+                    vstate=self._vstate, pstate=self._pstate,
+                    need_full=need_full, active=act_dev)
         else:
-            self.kvs, self._vstate, self._pstate = fn(
-                self._all_params, pixels, kvs=self.kvs,
-                vstate=self._vstate, pstate=self._pstate, active=act_dev)
+            use_cached = bool(ticking.size and ticking.all())
+            fn = self._get_frame_jit(use_cached, bucket,
+                                     ragged=act_dev is not None)
+            if act_dev is None:
+                self.kvs, self._vstate, self._pstate = fn(
+                    self._all_params, pixels, kvs=self.kvs,
+                    vstate=self._vstate, pstate=self._pstate)
+            else:
+                self.kvs, self._vstate, self._pstate = fn(
+                    self._all_params, pixels, kvs=self.kvs,
+                    vstate=self._vstate, pstate=self._pstate, active=act_dev)
         self._track_blocks(n_frames, active=act_np)
+        self._slot_chunk += 1 if act_np is None else act_np.astype(np.int64)
         self.chunk_idx += 1
 
     def stage_chunk(self, frames) -> jax.Array:

@@ -26,15 +26,22 @@ def _session_state(session):
             session, "_stream_blocks", np.zeros(session.batch, np.int64))),
         "ragged": int(getattr(session, "_ragged", False)),
         "init_len": int(getattr(session, "_init_len", 0)),
+        # per-slot cacher schedule counters (VLM sessions)
+        "slot_chunk": np.asarray(getattr(
+            session, "_slot_chunk", np.zeros(session.batch, np.int64))),
         "vstate": getattr(session, "_vstate", ()),
         "pstate": getattr(session, "_pstate", ()),
     }
+
+
+_FMT = 2  # bump when _session_state's leaf set changes
 
 
 def save_session_state(session, path: str):
     state = _session_state(session)
     leaves, treedef = jax.tree.flatten(state)
     arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrs["fmt"] = np.asarray(_FMT)
     hs = getattr(session, "host_store", None)
     if hs is not None and hs.total_pages:
         for i, (hk, hv) in enumerate(zip(hs.k_chunks, hs.v_chunks)):
@@ -53,6 +60,11 @@ def load_session_state(session, path: str):
     The session must be built with the same configs (shapes must match —
     validated leaf by leaf)."""
     data = np.load(path, allow_pickle=False)
+    fmt = int(data["fmt"]) if "fmt" in data else 1
+    assert fmt == _FMT, (
+        f"checkpoint format v{fmt} != current v{_FMT}: this file was saved "
+        "by a different stc_tpu version (the leaf layout changed); re-save "
+        "the session with this version")
     state = _session_state(session)
     leaves, treedef = jax.tree.flatten(state)
     new_leaves = []
@@ -75,6 +87,9 @@ def load_session_state(session, path: str):
                                         np.int64).copy()
     session._ragged = bool(int(state["ragged"]))
     session._init_len = int(state["init_len"])
+    if hasattr(session, "_slot_chunk"):
+        session._slot_chunk = np.asarray(state["slot_chunk"],
+                                         np.int64).copy()
     if hasattr(session, "_vstate"):
         session._vstate = state["vstate"]
         session._pstate = state["pstate"]
@@ -123,10 +138,13 @@ def save_stream_state(session, slot: int, path: str):
     state = _stream_state(session, slot)
     leaves, _ = jax.tree.flatten(state)
     arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrs["fmt"] = np.asarray(_FMT)
     arrs["blocks"] = np.asarray(
         int(session._stream_blocks[slot]) if session._ragged
         else session._total_blocks)
     arrs["init_len"] = np.asarray(session._init_len)
+    arrs["slot_chunk"] = np.asarray(
+        int(getattr(session, "_slot_chunk", np.zeros(session.batch))[slot]))
     np.savez_compressed(path, **arrs)
     return path
 
@@ -134,9 +152,13 @@ def save_stream_state(session, slot: int, path: str):
 def load_stream_state(session, slot: int, path: str):
     """Restore a stream saved by save_stream_state into `slot` (typically a
     recycled slot — ServingEngine.retire/admit).  The other slots' streams
-    are untouched.  On a VLM session the cacher schedule rewinds to a
-    full-compute chunk, exactly as after reset_streams."""
+    are untouched; on a VLM session the migrated stream carries its own
+    cacher-schedule counter (per-slot schedules)."""
     data = np.load(path, allow_pickle=False)
+    fmt = int(data["fmt"]) if "fmt" in data else 1
+    assert fmt == _FMT, (
+        f"stream blob format v{fmt} != current v{_FMT}; re-save with this "
+        "stc_tpu version")
     assert int(data["init_len"]) == session._init_len, (
         "init prompt length mismatch: the migrated stream was encoded with "
         f"n_init={int(data['init_len'])}, this session has "
@@ -175,10 +197,8 @@ def load_stream_state(session, slot: int, path: str):
                                        state["vstate"])
         session._pstate = jax.tree.map(put(pa), session._pstate,
                                        state["pstate"])
-        session.chunk_idx = 0
-    if not session._ragged:
-        session._stream_blocks[:] = session._total_blocks
-        session._ragged = True
+        session._slot_chunk[slot] = int(data["slot_chunk"])
+    session._ensure_ragged()
     session._stream_blocks[slot] = int(data["blocks"])
     session._total_blocks = int(session._stream_blocks.max())
     return session

@@ -133,7 +133,8 @@ def test_stream_migration_vlm(tmp_path):
     sb = build(2)
     sb.encode_video(np.stack([frames[0], frames[0]]))
     load_stream_state(sb, 1, path)
-    assert sb.chunk_idx == 0
+    # the migrated stream carries its own cacher-schedule counter
+    assert sb._slot_chunk.tolist() == [1, 4]
     got = sb.question_answering_batch([Q, Q], [P, P], STOP,
                                       max_new_tokens=4)[1]
     assert got == want

@@ -187,16 +187,23 @@ def test_vlm_ragged_pixel_path_matches_independent_sessions():
     for step, act in enumerate(pattern):
         fb = np.concatenate([frames[b][step] for b in range(2)], 0)
         s2.encode_video(fb, active=act)
-    # NOTE: chunk_idx (cacher full/cached scheduling) advances per DISPATCH
-    # in a ragged session, not per stream-own-chunk — documented behavior —
-    # so answers are not compared to independently-scheduled sessions here
-    # (the features-path test above proves per-stream parity exactly)
+    # cacher full/cached parity follows each slot's OWN chunk counter
+    # (mixed-path dispatches when slots disagree), so per-stream answers
+    # match independently-run sessions EXACTLY even on the pixel path
     for b in range(2):
         nb = sum(1 for a in pattern if a[b])
         assert int(np.asarray(s2.kvs.num_blocks)[0, b]) == nb
+        assert int(s2._slot_chunk[b]) == nb
     ans = s2.question_answering([7, 8, 9], [7, 8, 9, 10], [0],
                                 max_new_tokens=4, all_streams=True)
-    assert len(ans) == 2 and all(len(a) >= 1 for a in ans)
+    for b in range(2):
+        solo = make(1)
+        for step, act in enumerate(pattern):
+            if act[b]:
+                solo.encode_video(frames[b][step])
+        want = solo.question_answering([7, 8, 9], [7, 8, 9, 10], [0],
+                                       max_new_tokens=4)
+        assert ans[b] == want, (b, ans[b], want)
 
 
 def test_vlm_ragged_cacher_state_isolated():

@@ -186,9 +186,11 @@ def test_reset_with_ablation_scorer():
 
 
 def test_reset_streams_vlm_pixels():
-    """Pixel-path recycling: the recycled slot's cacher references and
-    pruner memory reset too — it answers like a fresh VLM session over only
-    its new frames, while the live slot's stream continues."""
+    """Pixel-path recycling: the recycled slot's cacher references, pruner
+    memory, and per-slot chunk counter reset too — it answers like a fresh
+    VLM session over only its new frames, while the live slot's stream
+    continues BIT-IDENTICALLY to an unchurned session (per-slot cacher
+    schedules; the mixed-path jit serves disagreeing ticks)."""
     from stc_tpu.config import CacherConfig, PrunerConfig
     from stc_tpu.models import llava_onevision as lo
     cfg = lo.LlavaOVConfig.tiny()
@@ -212,19 +214,33 @@ def test_reset_streams_vlm_pixels():
     rng = np.random.default_rng(5)
     frames = rng.uniform(0, 255, (6, 1, 56, 56, 3)).astype(np.uint8)
 
+    def feed(s):
+        for i in range(3):
+            s.encode_video(np.stack([frames[i], frames[i]]))
+
     s2 = build(2)
-    for i in range(3):
-        s2.encode_video(np.stack([frames[i], frames[i]]))
+    feed(s2)
     s2.reset_streams([1])
-    assert s2.chunk_idx == 0
+    assert s2._slot_chunk.tolist() == [3, 0]
     for i in range(3, 5):
         s2.encode_video(np.stack([frames[i], frames[i + 1]]))
     assert np.asarray(s2.kvs.num_blocks)[0].tolist() == [5, 2]
+    assert s2._slot_chunk.tolist() == [5, 2]
 
     got = s2.question_answering_batch([Q, Q], [P, P], STOP, max_new_tokens=4)
 
+    # recycled slot == fresh session over only its new frames
     solo = build(1)
     for i in (4, 5):
         solo.encode_video(frames[i][None])
     want = solo.question_answering(Q, P, STOP, max_new_tokens=4)
     assert got[1] == want
+
+    # live slot == unchurned twin (same frames, no reset ever)
+    twin = build(2)
+    feed(twin)
+    for i in range(3, 5):
+        twin.encode_video(np.stack([frames[i], frames[i + 1]]))
+    want_live = twin.question_answering_batch([Q, Q], [P, P], STOP,
+                                              max_new_tokens=4)[0]
+    assert got[0] == want_live
