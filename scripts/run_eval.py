@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--token_per_frame", type=int, default=None)
     p.add_argument("--prune_strategy", default=None,
                    choices=[None, "stc", "none", "full_tokens"])
+    p.add_argument("--spec_decode", type=int, default=None,
+                   help="prompt-lookup speculative decode draft length "
+                   "(answers are bit-identical to greedy; latency only)")
     p.add_argument("--rank", type=int, default=None)
     p.add_argument("--world", type=int, default=None)
     return p.parse_args()
@@ -56,6 +59,7 @@ def apply_knobs(args):
         "STC_TOKEN_PER_FRAME": args.token_per_frame,
         "STC_PRUNE_STRATEGY": {"full_tokens": "none"}.get(
             args.prune_strategy, args.prune_strategy),
+        "STC_SPEC_DECODE_DRAFT": args.spec_decode,
     }
     for k, v in env.items():
         if v is not None:
