@@ -100,6 +100,14 @@ class ReKVConfig:
     # committed only when it equals the model's own greedy choice.  0 = off.
     spec_decode_draft: int = 0
     spec_decode_ngram: int = 3
+    # Cross-question lookup history: keep up to this many recent
+    # question+answer tokens PER STREAM as an extra draft source (sessions
+    # answer many questions over one video; option formats and phrasing
+    # repeat, so prior answers are high-acceptance draft material).  Output
+    # is still bit-identical to greedy — drafts only ever commit when they
+    # match the model's own choice.  0 = draft from the current
+    # question+prompt only.
+    spec_history_tokens: int = 0
 
     def __post_init__(self):
         assert self.exc_block_size <= self.n_local
@@ -115,6 +123,7 @@ class ReKVConfig:
         assert self.window_kv_compression in ("none", "select_top_half"), \
             self.window_kv_compression
         assert self.spec_decode_draft >= 0 and self.spec_decode_ngram >= 1
+        assert self.spec_history_tokens >= 0
 
     @property
     def rep_cap(self) -> int:
@@ -276,6 +285,7 @@ class SessionConfig:
             host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "none"),
             spec_decode_draft=int(os.getenv("STC_SPEC_DECODE_DRAFT", "0")),
             spec_decode_ngram=int(os.getenv("STC_SPEC_DECODE_NGRAM", "3")),
+            spec_history_tokens=int(os.getenv("STC_SPEC_HISTORY", "0")),
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,
                    encode_chunk_frames=chunk_frames,

@@ -402,7 +402,8 @@ def answer_question_hosttier(params, cfg: Qwen2Config, rekv: ReKVConfig,
                              q_len: jax.Array, p_ids: jax.Array,
                              p_len: jax.Array, stop_ids: jax.Array,
                              max_new_tokens: int, hp_kv, hp_ids,
-                             retrieved_indices: jax.Array | None = None):
+                             retrieved_indices: jax.Array | None = None,
+                             hist_ids=None, hist_len=None):
     """One-dispatch QA against the two-tier store: retrieval (device pages +
     prefetched host pages) + prompt prefill + greedy decode.  The prefill and
     decode stages are skipped (lax.cond) when any selected host page was
@@ -429,7 +430,8 @@ def answer_question_hosttier(params, cfg: Qwen2Config, rekv: ReKVConfig,
         ctx_ids = ctx_len = None
         if rekv.spec_decode_draft > 0:
             ctx_ids, ctx_len = build_spec_ctx(q_ids, q_len, p_ids, p_len,
-                                              max_new_tokens)
+                                              max_new_tokens, hist_ids,
+                                              hist_len)
         tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
                                          stop_ids, max_new_tokens,
                                          ctx_ids=ctx_ids, ctx_len=ctx_len)
@@ -497,7 +499,8 @@ def _lm_head(params, h: jax.Array) -> jax.Array:
 def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
                     kvs: StreamKV, q_ids: jax.Array, q_len: jax.Array,
                     p_ids: jax.Array, p_len: jax.Array,
-                    stop_ids: jax.Array, max_new_tokens: int):
+                    stop_ids: jax.Array, max_new_tokens: int,
+                    hist_ids=None, hist_len=None):
     """Whole QA in ONE dispatch: retrieval forward + prompt prefill + greedy
     decode (sequential host round trips cost ~30ms each on this platform).
 
@@ -514,7 +517,7 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
     ctx_ids = ctx_len = None
     if rekv.spec_decode_draft > 0:
         ctx_ids, ctx_len = build_spec_ctx(q_ids, q_len, p_ids, p_len,
-                                          max_new_tokens)
+                                          max_new_tokens, hist_ids, hist_len)
     tokens, count, _ = greedy_decode(params, cfg, rekv, dkvs, last,
                                      stop_ids, max_new_tokens,
                                      ctx_ids=ctx_ids, ctx_len=ctx_len)
@@ -525,7 +528,8 @@ def serve_step(params, cfg: Qwen2Config, rekv: ReKVConfig, kvs: StreamKV,
                embeds: jax.Array, active: jax.Array, q_ids: jax.Array,
                q_len: jax.Array, p_ids: jax.Array, p_len: jax.Array,
                stop_ids: jax.Array, max_new_tokens: int,
-               attn_backend: str = "jnp", win_pages: int | None = None):
+               attn_backend: str = "jnp", win_pages: int | None = None,
+               hist_ids=None, hist_len=None):
     """PHASE-HETEROGENEOUS serving tick in ONE dispatch: ragged-encode a
     chunk into the `active` streams, then answer per-stream questions over
     the post-encode state (retrieval + prefill + greedy decode).
@@ -541,7 +545,8 @@ def serve_step(params, cfg: Qwen2Config, rekv: ReKVConfig, kvs: StreamKV,
                          attn_backend=attn_backend, win_pages=win_pages,
                          active=active)
     tokens, count = answer_question(params, cfg, rekv, kvs, q_ids, q_len,
-                                    p_ids, p_len, stop_ids, max_new_tokens)
+                                    p_ids, p_len, stop_ids, max_new_tokens,
+                                    hist_ids=hist_ids, hist_len=hist_len)
     return kvs, tokens, count
 
 
@@ -600,23 +605,36 @@ def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
     return h, dkv_q.k, dkv_q.v, valid_len
 
 
-def build_spec_ctx(q_ids, q_len, p_ids, p_len, max_new_tokens: int):
-    """Compact the question + prompt tokens into one per-stream lookup
+def build_spec_ctx(q_ids, q_len, p_ids, p_len, max_new_tokens: int,
+                   hist_ids=None, hist_len=None):
+    """Compact [history | question | prompt] into one per-stream lookup
     buffer for prompt-lookup speculative decoding, with room for the
-    generated tokens.  Returns (ctx (B, C) int32, ctx_len (B,))."""
+    generated tokens.  hist_ids (B, H): recent question+answer tokens from
+    the session's earlier QAs (cross-question drafting — prior answers are
+    high-acceptance material when phrasing repeats).  Returns
+    (ctx (B, C) int32, ctx_len (B,))."""
     B, Tq = q_ids.shape
     Tp = p_ids.shape[1]
-    C = Tq + Tp + max_new_tokens + 2
+    H = 0 if hist_ids is None else hist_ids.shape[1]
+    C = H + Tq + Tp + max_new_tokens + 2
     ctx = jnp.zeros((B, C), jnp.int32)
-    jq = jnp.arange(Tq, dtype=jnp.int32)
-    ctx = ctx.at[:, :Tq].set(jnp.where(jq[None, :] < q_len[:, None],
-                                       q_ids, 0))
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    base = jnp.zeros((B,), jnp.int32)
+    if H:
+        hist_len = jnp.asarray(hist_len, jnp.int32)
+        jh = jnp.arange(H, dtype=jnp.int32)
+        ctx = ctx.at[:, :H].set(jnp.where(jh[None, :] < hist_len[:, None],
+                                          hist_ids, 0))
+        base = hist_len
+    jq = jnp.arange(Tq, dtype=jnp.int32)
+    pos = base[:, None] + jq[None, :]
+    ctx = ctx.at[bidx, pos].set(jnp.where(jq[None, :] < q_len[:, None],
+                                          q_ids, 0))
     jp = jnp.arange(Tp, dtype=jnp.int32)
-    pos = q_len[:, None] + jp[None, :]
+    pos = (base + q_len)[:, None] + jp[None, :]
     ctx = ctx.at[bidx, pos].set(jnp.where(jp[None, :] < p_len[:, None],
                                           p_ids, 0))
-    return ctx, q_len + p_len
+    return ctx, base + q_len + p_len
 
 
 def _spec_draft(ctx: jax.Array, ctx_len: jax.Array, K: int, N: int):

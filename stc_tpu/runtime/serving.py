@@ -176,10 +176,11 @@ class ServingEngine:
         # answers are discarded — the dispatch is SPMD-dense either way)
         questions = [(r.question_ids if r else [0]) for r in ask]
         prompts = [(r.prompt_ids if r else [0]) for r in ask]
+        asked = [r is not None for r in ask]
         if any_enc and self._is_features_session():
             tokens, count = self.sess.serve(
                 feats, active, questions, prompts, self.stop_token_ids,
-                max_new_tokens=self.max_new_tokens)
+                max_new_tokens=self.max_new_tokens, asked=asked)
             if self.sess.last_serve_fused:
                 self.stats.fused_ticks += 1
             answers = [[int(t) for t in tokens[b, :int(count[b])]]
@@ -189,7 +190,7 @@ class ServingEngine:
                 self._encode(feats, active)
             answers = self.sess.question_answering_batch(
                 questions, prompts, self.stop_token_ids,
-                max_new_tokens=self.max_new_tokens)
+                max_new_tokens=self.max_new_tokens, asked=asked)
         for b, r in enumerate(ask):
             if r is not None:
                 self.stats.slot_answers[b] += 1

@@ -163,6 +163,13 @@ class StreamingSession:
         self._stream_blocks = np.zeros(self.batch, dtype=np.int64)
         self._ragged = False
         self._evicted_pages = 0
+        # cross-question speculative-draft history (ReKVConfig.
+        # spec_history_tokens recent question+prompt+answer tokens per
+        # stream) — draft material only, never affects answers
+        H = self.rekv.spec_history_tokens if self.rekv.spec_decode_draft \
+            else 0
+        self._qa_hist = np.zeros((self.batch, H), dtype=np.int32)
+        self._qa_hist_len = np.zeros(self.batch, dtype=np.int32)
         self._pruner_state = None  # reset by the vision pipeline if attached
         if self.frame_encoder is not None and hasattr(self.frame_encoder,
                                                       "reset"):
@@ -343,6 +350,7 @@ class StreamingSession:
         stop_token_ids: Sequence[int],
         max_new_tokens: int = 128,
         retrieved_indices: Optional[Sequence[int]] = None,
+        asked=None,
     ) -> List[List[int]]:
         """PER-STREAM questions in one batched QA: `questions[b]`/`prompts[b]`
         may differ per stream in content and length (right-padded to a shared
@@ -355,12 +363,12 @@ class StreamingSession:
         p_ids, p_len = self._pad_ids(prompts)
         tokens, count = self._qa_run(q_ids, q_len, p_ids, p_len,
                                      stop_token_ids, max_new_tokens,
-                                     retrieved_indices)
+                                     retrieved_indices, hist_rows=asked)
         return [[int(t) for t in tokens[b, :int(count[b])]]
                 for b in range(self.batch)]
 
     def serve(self, feats, active, questions, prompts, stop_token_ids,
-              max_new_tokens: int = 128):
+              max_new_tokens: int = 128, asked=None):
         """PHASE-HETEROGENEOUS serving tick: ragged-encode `feats` into the
         `active` streams AND answer per-stream `questions` — in ONE dispatch
         on the device-resident hot path (mean_dot scorer, nothing evicted,
@@ -393,7 +401,7 @@ class StreamingSession:
         if not fused:
             self.encode_video_features(feats, active=act_np)
             return self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
-                                max_new_tokens)
+                                max_new_tokens, hist_rows=asked)
         self._maybe_evict(n)  # rep-capacity fail-fast (never evicts here)
         if not hasattr(self, "_serve_jit"):
             self._serve_jit = jax.jit(functools.partial(
@@ -408,9 +416,13 @@ class StreamingSession:
             self.params, kvs=self.kvs, embeds=feats, active=mask,
             q_ids=jnp.asarray(q_ids), q_len=jnp.asarray(q_len, jnp.int32),
             p_ids=jnp.asarray(p_ids), p_len=jnp.asarray(p_len, jnp.int32),
-            stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens)
+            stop_ids=jnp.asarray(stop_arr), max_new_tokens=max_new_tokens,
+            **self._hist_kw())
         self._track_blocks(n, active=act_np)
-        return np.asarray(tokens), np.asarray(count)
+        tokens, count = np.asarray(tokens), np.asarray(count)
+        self._hist_append(q_ids, q_len, p_ids, p_len, tokens, count,
+                          rows=asked)
+        return tokens, count
 
     def reset_streams(self, slots: Sequence[int]):
         """Recycle stream slots: return each slot in `slots` to its
@@ -445,6 +457,42 @@ class StreamingSession:
         self._ensure_ragged()
         self._stream_blocks[mask] = 0
         self._total_blocks = int(self._stream_blocks.max())
+        # a recycled slot must not draft from the previous tenant's QAs
+        self._qa_hist[mask] = 0
+        self._qa_hist_len[mask] = 0
+
+    def _hist_kw(self):
+        """Speculative-draft history operands for the QA jits ({} when the
+        cross-question history is off)."""
+        if self._qa_hist.shape[1] == 0:
+            return {}
+        return dict(hist_ids=jnp.asarray(self._qa_hist),
+                    hist_len=jnp.asarray(self._qa_hist_len))
+
+    def _hist_append(self, q_ids, q_len, p_ids, p_len, tokens, count,
+                     rows=None):
+        """Record this QA's question+prompt+answer tokens per stream into
+        the draft-history ring (most recent kept).  rows: optional per-
+        stream mask — serving ticks record only the slots that really asked
+        (dummy rows must not pollute the draft material)."""
+        H = self._qa_hist.shape[1]
+        if H == 0:
+            return
+        q_len, p_len = np.asarray(q_len), np.asarray(p_len)
+        for b in range(self.batch):
+            if rows is not None and not rows[b]:
+                continue
+            seq = np.concatenate([
+                np.asarray(q_ids[b, :q_len[b]], np.int32),
+                np.asarray(p_ids[b, :p_len[b]], np.int32),
+                np.asarray(tokens[b, :int(count[b])], np.int32)])[-H:]
+            n, L = len(seq), int(self._qa_hist_len[b])
+            if L + n > H:
+                shift = L + n - H
+                self._qa_hist[b, :L - shift] = self._qa_hist[b, shift:L]
+                L -= shift
+            self._qa_hist[b, L:L + n] = seq
+            self._qa_hist_len[b] = L + n
 
     def _pad_ids(self, seqs):
         """Right-pad B token sequences to a shared power-of-two bucket.
@@ -458,7 +506,8 @@ class StreamingSession:
         return arr, lens
 
     def _qa_run(self, q_ids, q_len, p_ids, p_len, stop_token_ids,
-                max_new_tokens: int, retrieved_indices=None):
+                max_new_tokens: int, retrieved_indices=None,
+                hist_rows=None):
         """Shared QA core over padded id arrays: picks the fused, host-tier,
         external-indices, or layerwise-scorer path.  Returns (tokens (B, M)
         np, count (B,) np)."""
@@ -476,6 +525,7 @@ class StreamingSession:
         stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
                                                     np.int32)
 
+        q_len_np = np.asarray(q_len)
         q_len = jnp.asarray(q_len, jnp.int32)
         p_len_j = jnp.asarray(p_len, jnp.int32)
 
@@ -485,9 +535,10 @@ class StreamingSession:
             # (building it here would cost un-jitted dispatches per question)
             if rc.spec_decode_draft == 0:
                 return {}
+            hk = self._hist_kw()
             c_ids, c_len = qw.build_spec_ctx(
                 jnp.asarray(q_ids), q_len, jnp.asarray(p_ids), p_len_j,
-                max_new_tokens)
+                max_new_tokens, hk.get("hist_ids"), hk.get("hist_len"))
             return dict(ctx_ids=c_ids, ctx_len=c_len)
 
         if rc.retrieval_scorer != "mean_dot" and ext_idx is None:
@@ -535,8 +586,11 @@ class StreamingSession:
                 self.params, kvs=self.kvs, q_ids=jnp.asarray(q_ids),
                 q_len=q_len, p_ids=jnp.asarray(p_ids), p_len=p_len_j,
                 stop_ids=jnp.asarray(stop_arr),
-                max_new_tokens=max_new_tokens)
-        return np.asarray(tokens), np.asarray(count)
+                max_new_tokens=max_new_tokens, **self._hist_kw())
+        tokens, count = np.asarray(tokens), np.asarray(count)
+        self._hist_append(q_ids, q_len_np, p_ids, p_len, tokens, count,
+                          rows=hist_rows)
+        return tokens, count
 
     # ------------------------------------------------------------------ #
     def hp_reset(self):
@@ -635,7 +689,7 @@ class StreamingSession:
                   p_len=jnp.broadcast_to(jnp.asarray(p_len, jnp.int32), (B,)),
                   stop_ids=jnp.asarray(stop_arr),
                   max_new_tokens=max_new_tokens,
-                  retrieved_indices=ext_idx)
+                  retrieved_indices=ext_idx, **self._hist_kw())
         # F grows monotonically and is bounded by the host-page count, so the
         # loop terminates; in practice round 1 stages everything round 2 needs
         for _ in range(int(self._evicted_pages) + 2):

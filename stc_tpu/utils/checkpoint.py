@@ -29,12 +29,17 @@ def _session_state(session):
         # per-slot cacher schedule counters (VLM sessions)
         "slot_chunk": np.asarray(getattr(
             session, "_slot_chunk", np.zeros(session.batch, np.int64))),
+        # speculative-draft history (zero-width when off)
+        "qa_hist": np.asarray(getattr(
+            session, "_qa_hist", np.zeros((session.batch, 0), np.int32))),
+        "qa_hist_len": np.asarray(getattr(
+            session, "_qa_hist_len", np.zeros(session.batch, np.int32))),
         "vstate": getattr(session, "_vstate", ()),
         "pstate": getattr(session, "_pstate", ()),
     }
 
 
-_FMT = 2  # bump when _session_state's leaf set changes
+_FMT = 3  # bump when _session_state's leaf set changes
 
 
 def save_session_state(session, path: str):
@@ -90,6 +95,9 @@ def load_session_state(session, path: str):
     if hasattr(session, "_slot_chunk"):
         session._slot_chunk = np.asarray(state["slot_chunk"],
                                          np.int64).copy()
+    session._qa_hist = np.asarray(state["qa_hist"], np.int32).copy()
+    session._qa_hist_len = np.asarray(state["qa_hist_len"],
+                                      np.int32).copy()
     if hasattr(session, "_vstate"):
         session._vstate = state["vstate"]
         session._pstate = state["pstate"]
@@ -145,6 +153,8 @@ def save_stream_state(session, slot: int, path: str):
     arrs["init_len"] = np.asarray(session._init_len)
     arrs["slot_chunk"] = np.asarray(
         int(getattr(session, "_slot_chunk", np.zeros(session.batch))[slot]))
+    arrs["qa_hist"] = np.asarray(session._qa_hist[slot])
+    arrs["qa_hist_len"] = np.asarray(int(session._qa_hist_len[slot]))
     np.savez_compressed(path, **arrs)
     return path
 
@@ -198,6 +208,12 @@ def load_stream_state(session, slot: int, path: str):
         session._pstate = jax.tree.map(put(pa), session._pstate,
                                        state["pstate"])
         session._slot_chunk[slot] = int(data["slot_chunk"])
+    hist = np.asarray(data["qa_hist"], np.int32)
+    assert hist.shape == session._qa_hist[slot].shape, (
+        f"spec_history_tokens mismatch: blob {hist.shape} vs session "
+        f"{session._qa_hist[slot].shape}")
+    session._qa_hist[slot] = hist
+    session._qa_hist_len[slot] = int(data["qa_hist_len"])
     session._ensure_ragged()
     session._stream_blocks[slot] = int(data["blocks"])
     session._total_blocks = int(session._stream_blocks.max())

@@ -163,6 +163,51 @@ def test_spec_matches_greedy_pallas_decode_backend():
     assert got_on == got_off == want
 
 
+def test_spec_history_matches_greedy_across_questions():
+    """Cross-question draft history (spec_history_tokens): a session that
+    drafts from its previous QAs still answers every question bit-identically
+    to plain greedy — history is draft material, never output."""
+    hist = dataclasses.replace(SPEC, spec_history_tokens=96)
+    off, on = _pair(2, RC, hist, seed=17)
+    for q, p in QUESTIONS + QUESTIONS[:2]:   # repeats: history gets hits
+        want = off.question_answering_batch([q, q[::-1]], [p, p[::-1]],
+                                            STOP, max_new_tokens=8)
+        got = on.question_answering_batch([q, q[::-1]], [p, p[::-1]],
+                                          STOP, max_new_tokens=8)
+        assert got == want
+    assert (on._qa_hist_len > 0).all()       # history actually recorded
+    assert off._qa_hist.shape[1] == 0        # plain session keeps none
+
+
+def test_spec_history_lifecycle():
+    """History is per-stream: a recycled slot drops the previous tenant's
+    QAs; serving ticks record only slots that really asked; migration
+    carries the history with the stream."""
+    import tempfile, os
+    from stc_tpu.utils.checkpoint import (load_stream_state,
+                                          save_stream_state)
+    hist = dataclasses.replace(SPEC, spec_history_tokens=64)
+    _, on = _pair(2, RC, hist, seed=19)
+    q, p = QUESTIONS[0]
+    on.question_answering_batch([q, q], [p, p], STOP, max_new_tokens=6)
+    assert (on._qa_hist_len > 0).all()
+
+    # serving-shaped call: only slot 0 asked; slot 1's history unchanged
+    len1 = int(on._qa_hist_len[1])
+    on.question_answering_batch([q, [0]], [p, [0]], STOP, max_new_tokens=6,
+                                asked=[True, False])
+    assert int(on._qa_hist_len[1]) == len1
+
+    # migration carries the history; reset drops it
+    path = os.path.join(tempfile.mkdtemp(), "s.npz")
+    save_stream_state(on, 0, path)
+    on.reset_streams([1])
+    assert int(on._qa_hist_len[1]) == 0
+    load_stream_state(on, 1, path)
+    assert int(on._qa_hist_len[1]) == int(on._qa_hist_len[0])
+    np.testing.assert_array_equal(on._qa_hist[1], on._qa_hist[0])
+
+
 def test_spec_accepts_repetitive_continuations():
     """On a forced-repetition decode the lookahead loop converges in far
     fewer rounds than tokens: drive lookahead_decode directly against
