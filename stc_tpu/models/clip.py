@@ -68,7 +68,8 @@ def layer_ratios(num_layers: int, target_ratio: float,
 
 
 class ClipCacherState(NamedTuple):
-    """Per-layer references, stacked over layers: (L, 1, T, C)."""
+    """Per-layer references, stacked over layers: (L, B, T, C) — one
+    reference (each stream's last chunk frame) per stream."""
     ref_pre_ln2: jax.Array
     ref_mlp_post: jax.Array
     has_ref: jax.Array          # (L,) bool — reference captured yet?
@@ -76,13 +77,44 @@ class ClipCacherState(NamedTuple):
     tokens_skipped: jax.Array    # () int32
 
 
-def init_clip_cacher(cfg: CLIPConfig, dtype=jnp.float32) -> ClipCacherState:
-    z = jnp.zeros((cfg.num_layers, 1, cfg.num_tokens, cfg.hidden_size), dtype)
+def init_clip_cacher(cfg: CLIPConfig, dtype=jnp.float32,
+                     batch: int = 1) -> ClipCacherState:
+    z = jnp.zeros((cfg.num_layers, batch, cfg.num_tokens, cfg.hidden_size),
+                  dtype)
     return ClipCacherState(
         ref_pre_ln2=z, ref_mlp_post=z,
         has_ref=jnp.zeros((cfg.num_layers,), bool),
         tokens_processed=jnp.zeros((), jnp.int32),
         tokens_skipped=jnp.zeros((), jnp.int32))
+
+
+class ClipStreamsMixin:
+    """Per-stream state plumbing for the CLIP-tower pipelines (LongVA,
+    Video-LLaVA): ragged select and slot extract/restore over the
+    (L, B, T, C) cacher reference leaves; has_ref/counters stay global."""
+
+    def select_streams(self, vstate, pstate, old_vstate, old_pstate, mask):
+        m = mask.reshape(1, -1, 1, 1)
+        return vstate._replace(
+            ref_pre_ln2=jnp.where(m, vstate.ref_pre_ln2,
+                                  old_vstate.ref_pre_ln2),
+            ref_mlp_post=jnp.where(m, vstate.ref_mlp_post,
+                                   old_vstate.ref_mlp_post)), pstate
+
+    def extract_stream(self, vstate, pstate, slot: int):
+        import numpy as np
+        return ({"ref_pre_ln2": np.asarray(vstate.ref_pre_ln2[:, slot]),
+                 "ref_mlp_post": np.asarray(vstate.ref_mlp_post[:, slot])},
+                ())
+
+    def restore_stream(self, vstate, pstate, slot: int, v_blob, p_blob):
+        return vstate._replace(
+            ref_pre_ln2=vstate.ref_pre_ln2.at[:, slot].set(
+                jnp.asarray(v_blob["ref_pre_ln2"],
+                            vstate.ref_pre_ln2.dtype)),
+            ref_mlp_post=vstate.ref_mlp_post.at[:, slot].set(
+                jnp.asarray(v_blob["ref_mlp_post"],
+                            vstate.ref_mlp_post.dtype))), pstate
 
 
 def cache_stats(state: ClipCacherState) -> Dict[str, float]:
@@ -176,16 +208,19 @@ def _mlp(lp, x):
 # ---------------------------------------------------------------------------
 
 def encode_full(params, cfg: CLIPConfig, pixels: jax.Array,
-                cacher: ClipCacherState, *, feature_layer: int = -2
-                ) -> Tuple[jax.Array, ClipCacherState]:
+                cacher: ClipCacherState, *, feature_layer: int = -2,
+                n_streams: int = 1) -> Tuple[jax.Array, ClipCacherState]:
     """Full-compute chunk, refreshing cacher references.
 
     Returns hidden states of encoder layer `feature_layer` (HF hidden_states
     indexing: -2 == output of the second-to-last layer) and new state.
+    With n_streams > 1 the frame axis is STREAM-MAJOR (B*F) and each
+    stream's reference is its own chunk's last frame.
     """
     h = embed(params, pixels, cfg)
     eps = cfg.layer_norm_eps
     F_, T, C = h.shape
+    B = n_streams
     n_out = cfg.num_layers + feature_layer + 1 if feature_layer < 0 \
         else feature_layer
 
@@ -199,7 +234,10 @@ def encode_full(params, cfg: CLIPConfig, pixels: jax.Array,
         h = residual2 + mlp_out
         taken = taken + 1
         out = jnp.where(taken == n_out, h, out)
-        return (h, taken, out), (residual2[-1:], mlp_out[-1:])
+        # per-stream reference: each stream's last frame of the chunk
+        refs = (residual2.reshape(B, F_ // B, T, C)[:, -1],
+                mlp_out.reshape(B, F_ // B, T, C)[:, -1])
+        return (h, taken, out), refs
 
     (h, _, out), refs = jax.lax.scan(
         body, (h, jnp.zeros((), jnp.int32), jnp.zeros_like(h)),
@@ -214,13 +252,16 @@ def encode_full(params, cfg: CLIPConfig, pixels: jax.Array,
 def encode_cached(params, cfg: CLIPConfig, pixels: jax.Array,
                   cacher: ClipCacherState, skip_ratio: float,
                   *, feature_layer: int = -2,
-                  ratio_strategy: str = "uniform"
+                  ratio_strategy: str = "uniform", n_streams: int = 1
                   ) -> Tuple[jax.Array, ClipCacherState]:
     """MLP-skip chunk: full attention; LN2+MLP only for the least-similar
-    tokens, the rest reuse the reference MLP output."""
+    tokens, the rest reuse the reference MLP output.  With n_streams > 1
+    the frame axis is stream-major and each frame compares against ITS
+    stream's reference."""
     h = embed(params, pixels, cfg)
     eps = cfg.layer_norm_eps
     F_, T, C = h.shape
+    Fs = F_ // n_streams  # frames per stream
     ratios = layer_ratios(cfg.num_layers, skip_ratio, ratio_strategy)
     n_out = cfg.num_layers + feature_layer + 1 if feature_layer < 0 \
         else feature_layer
@@ -241,8 +282,10 @@ def encode_cached(params, cfg: CLIPConfig, pixels: jax.Array,
 
         n_skip = n_skips[li]
         n_comp = T - n_skip
-        ref_pre = cacher.ref_pre_ln2[li]     # (1, T, C)
-        ref_mlp = cacher.ref_mlp_post[li]
+        # each frame compares against ITS stream's reference (stream-major
+        # rows: frame row r belongs to stream r // Fs)
+        ref_pre = jnp.repeat(cacher.ref_pre_ln2[li], Fs, axis=0)  # (F, T, C)
+        ref_mlp = jnp.repeat(cacher.ref_mlp_post[li], Fs, axis=0)
         if n_skip == 0:
             hn2 = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
             h = residual2 + _mlp(lp, hn2)
@@ -259,7 +302,7 @@ def encode_cached(params, cfg: CLIPConfig, pixels: jax.Array,
             toks = h[frow, comp_idx]                          # (F, K, C)
             toks = _layer_norm(toks, lp["ln2_w"], lp["ln2_b"], eps)
             toks = _mlp(lp, toks)
-            mlp_full = jnp.broadcast_to(ref_mlp, (F_, T, C))
+            mlp_full = ref_mlp.astype(h.dtype)
             mlp_full = mlp_full.at[frow, comp_idx].set(toks)
             h = residual2 + mlp_full
             skipped = skipped + F_ * n_skip

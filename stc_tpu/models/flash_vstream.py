@@ -72,7 +72,7 @@ class FlashVStreamVision(LongVAVision):
         feats = project_mlp2x(params["projector"], feats)
         feats = compress_spatial_features(
             feats, self.cfg.vision.grid, self.cfg.spatial_tokens)
-        return feats.reshape(1, -1, feats.shape[-1])
+        return feats.reshape(self.batch, -1, feats.shape[-1])
 
     def cached(self, params, pixels, vstate, pstate):
         return self.full(params, pixels, vstate, pstate)
@@ -80,11 +80,13 @@ class FlashVStreamVision(LongVAVision):
 
 class FlashVStreamSession(VLMSession):
     def __init__(self, params, cfg: FlashVStreamConfig, scfg=None,
-                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32):
+                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32,
+                 batch: int = 1):
         scfg = scfg or default_session_config(cfg)
         super().__init__(params, cfg.text, scfg,
-                         FlashVStreamVision(cfg, scfg, vision_dtype),
-                         state_dtype=state_dtype)
+                         FlashVStreamVision(cfg, scfg, vision_dtype,
+                                            batch=batch),
+                         state_dtype=state_dtype, batch=batch)
 
 
 def init_random_params(cfg: FlashVStreamConfig, key, dtype=jnp.float32):

@@ -74,50 +74,59 @@ def project_mlp2x(proj: Dict[str, Any], feats: jax.Array) -> jax.Array:
     return h @ proj["w2"] + proj["b2"]
 
 
-class LongVAVision(VisionPipeline):
+class LongVAVision(cl.ClipStreamsMixin, VisionPipeline):
     def __init__(self, cfg: LongVAConfig, scfg: SessionConfig,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, batch: int = 1):
         from stc_tpu.runtime.vlm import make_preprocessor
         self.cfg = cfg
         self.scfg = scfg
         self.dtype = dtype
+        self.batch = batch
         self._pre = make_preprocessor(cfg.vision.image_size,
                                       CLIP_MEAN, CLIP_STD, dtype)
 
     def preprocess(self, frames):
-        return self._pre.host(np.asarray(frames))
+        frames = np.asarray(frames)
+        if frames.ndim == 5:  # (B, F, H, W, 3) multi-stream, stream-major
+            B, F = frames.shape[:2]
+            frames = frames.reshape((B * F,) + frames.shape[2:])
+        return self._pre.host(frames)
 
     def device_preprocess(self, pixels):
         return self._pre.device(pixels)
 
     def init_state(self):
-        return cl.init_clip_cacher(self.cfg.vision, self.dtype), ()
+        return cl.init_clip_cacher(self.cfg.vision, self.dtype,
+                                   batch=self.batch), ()
 
     def _post(self, params, feats):
         feats = feats[:, 1:]  # drop CLS ('patch' select)
         feats = project_mlp2x(params["projector"], feats)
         feats = avg_pool_2d(feats, self.cfg.vision.grid, self.cfg.pool_stride)
-        return feats.reshape(1, -1, feats.shape[-1])
+        return feats.reshape(self.batch, -1, feats.shape[-1])
 
     def full(self, params, pixels, vstate, pstate):
         feats, vstate = cl.encode_full(params["vision"], self.cfg.vision,
-                                       pixels, vstate, feature_layer=-2)
+                                       pixels, vstate, feature_layer=-2,
+                                       n_streams=self.batch)
         return self._post(params, feats), vstate, pstate
 
     def cached(self, params, pixels, vstate, pstate):
         feats, vstate = cl.encode_cached(
             params["vision"], self.cfg.vision, pixels, vstate,
-            self.scfg.cacher.update_token_ratio, feature_layer=-2)
+            self.scfg.cacher.update_token_ratio, feature_layer=-2,
+            n_streams=self.batch)
         return self._post(params, feats), vstate, pstate
 
 
 class LongVASession(VLMSession):
     def __init__(self, params, cfg: LongVAConfig, scfg=None,
-                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32):
+                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32,
+                 batch: int = 1):
         scfg = scfg or default_session_config(cfg)
         super().__init__(params, cfg.text, scfg,
-                         LongVAVision(cfg, scfg, vision_dtype),
-                         state_dtype=state_dtype)
+                         LongVAVision(cfg, scfg, vision_dtype, batch=batch),
+                         state_dtype=state_dtype, batch=batch)
 
 
 def init_random_params(cfg: LongVAConfig, key, dtype=jnp.float32):

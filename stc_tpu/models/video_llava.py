@@ -62,24 +62,30 @@ def default_session_config(cfg: VideoLlavaConfig,
     )
 
 
-class VideoLlavaVision(VisionPipeline):
+class VideoLlavaVision(cl.ClipStreamsMixin, VisionPipeline):
     def __init__(self, cfg: VideoLlavaConfig, scfg: SessionConfig,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, batch: int = 1):
         from stc_tpu.runtime.vlm import make_preprocessor
         self.cfg = cfg
         self.scfg = scfg
         self.dtype = dtype
+        self.batch = batch
         self._pre = make_preprocessor(cfg.vision.image_size,
                                       CLIP_MEAN, CLIP_STD, dtype)
 
     def preprocess(self, frames):
-        return self._pre.host(np.asarray(frames))
+        frames = np.asarray(frames)
+        if frames.ndim == 5:  # (B, F, H, W, 3) multi-stream, stream-major
+            B, F = frames.shape[:2]
+            frames = frames.reshape((B * F,) + frames.shape[2:])
+        return self._pre.host(frames)
 
     def device_preprocess(self, pixels):
         return self._pre.device(pixels)
 
     def init_state(self):
-        return cl.init_clip_cacher(self.cfg.vision, self.dtype), ()
+        return cl.init_clip_cacher(self.cfg.vision, self.dtype,
+                                   batch=self.batch), ()
 
     def _post(self, params, feats):
         # CLS token is kept (257 tokens/frame)
@@ -87,11 +93,12 @@ class VideoLlavaVision(VisionPipeline):
         h = feats @ p["w1"] + p["b1"]
         h = jax.nn.gelu(h, approximate=False)
         h = h @ p["w2"] + p["b2"]
-        return h.reshape(1, -1, h.shape[-1])
+        return h.reshape(self.batch, -1, h.shape[-1])
 
     def full(self, params, pixels, vstate, pstate):
         feats, vstate = cl.encode_full(params["vision"], self.cfg.vision,
-                                       pixels, vstate, feature_layer=-2)
+                                       pixels, vstate, feature_layer=-2,
+                                       n_streams=self.batch)
         return self._post(params, feats), vstate, pstate
 
     cached = full  # no cacher in the reference video_llava path
@@ -99,11 +106,13 @@ class VideoLlavaVision(VisionPipeline):
 
 class VideoLlavaSession(VLMSession):
     def __init__(self, params, cfg: VideoLlavaConfig, scfg=None,
-                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32):
+                 state_dtype=jnp.bfloat16, vision_dtype=jnp.float32,
+                 batch: int = 1):
         scfg = scfg or default_session_config(cfg)
         super().__init__(params, cfg.text, scfg,
-                         VideoLlavaVision(cfg, scfg, vision_dtype),
-                         state_dtype=state_dtype)
+                         VideoLlavaVision(cfg, scfg, vision_dtype,
+                                          batch=batch),
+                         state_dtype=state_dtype, batch=batch)
 
 
 def init_random_params(cfg: VideoLlavaConfig, key, dtype=jnp.float32):

@@ -118,12 +118,37 @@ class VisionPipeline:
             "multi-stream ingest: its vision state has no stream axis")
 
     def stream_axes(self):
-        """(vstate_axis, pstate_axis) of the per-stream dim — used by
-        per-slot checkpoint/migration (utils/checkpoint.save_stream_state).
-        Pipelines with a stream axis override this alongside
-        select_streams."""
+        """(vstate_axis, pstate_axis) of the per-stream dim — used by the
+        default extract_stream/restore_stream when every state leaf carries
+        the stream axis.  Pipelines with mixed-rank state override
+        extract/restore directly."""
         raise NotImplementedError(
             f"{type(self).__name__} has no per-stream vision state axis")
+
+    def extract_stream(self, vstate, pstate, slot: int):
+        """One slot's vision/pruner state as host pytrees, for per-stream
+        checkpoint/migration (utils/checkpoint.save_stream_state)."""
+        import jax
+        va, pa = self.stream_axes()
+        return (jax.tree.map(lambda x: np.asarray(jnp.take(x, slot, axis=va)),
+                             vstate),
+                jax.tree.map(lambda x: np.asarray(jnp.take(x, slot, axis=pa)),
+                             pstate))
+
+    def restore_stream(self, vstate, pstate, slot: int, v_blob, p_blob):
+        """Scatter a blob from extract_stream into `slot` of the live
+        state; returns (vstate, pstate)."""
+        import jax
+        va, pa = self.stream_axes()
+
+        def put(axis):
+            def f(cur, new):
+                idx = (slice(None),) * axis + (slot,)
+                return cur.at[idx].set(jnp.asarray(new, cur.dtype))
+            return f
+
+        return (jax.tree.map(put(va), vstate, v_blob),
+                jax.tree.map(put(pa), pstate, p_blob))
 
 
 class VLMSession(StreamingSession):

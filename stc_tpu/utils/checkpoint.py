@@ -126,13 +126,8 @@ def _stream_state(session, slot: int):
                                  session.kvs)}
     vision = getattr(session, "vision", None)
     if vision is not None:
-        va, pa = vision.stream_axes()
-        state["vstate"] = jax.tree.map(
-            lambda x: np.asarray(jnp.take(x, slot, axis=va)),
-            session._vstate)
-        state["pstate"] = jax.tree.map(
-            lambda x: np.asarray(jnp.take(x, slot, axis=pa)),
-            session._pstate)
+        state["vstate"], state["pstate"] = vision.extract_stream(
+            session._vstate, session._pstate, slot)
     return state
 
 
@@ -195,18 +190,9 @@ def load_stream_state(session, slot: int, path: str):
         session.kvs, state["kvs"])
     vision = getattr(session, "vision", None)
     if vision is not None:
-        va, pa = vision.stream_axes()
-
-        def put(axis):
-            def f(cur, new):
-                idx = (slice(None),) * axis + (slot,)
-                return cur.at[idx].set(jnp.asarray(new, cur.dtype))
-            return f
-
-        session._vstate = jax.tree.map(put(va), session._vstate,
-                                       state["vstate"])
-        session._pstate = jax.tree.map(put(pa), session._pstate,
-                                       state["pstate"])
+        session._vstate, session._pstate = vision.restore_stream(
+            session._vstate, session._pstate, slot,
+            state["vstate"], state["pstate"])
         session._slot_chunk[slot] = int(data["slot_chunk"])
     hist = np.asarray(data["qa_hist"], np.int32)
     assert hist.shape == session._qa_hist[slot].shape, (

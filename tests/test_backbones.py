@@ -159,3 +159,119 @@ def test_model_registry():
     for name in ("llava_ov_7b", "longva_7b", "video_llava_7b",
                  "flash_vstream_7b"):
         assert name in MODEL_REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream serving across backbone families (ragged / churn / migration)
+# ---------------------------------------------------------------------------
+
+def test_longva_multistream_ragged_matches_solo():
+    """LongVA (CLIP MLP-skip cacher): B=2 ragged pixel streams answer
+    exactly like independent sessions — per-stream cacher references and
+    per-slot schedules."""
+    cfg = lv.LongVAConfig.tiny()
+    scfg = _session_cfg(cfg.tokens_per_frame, cacher="cacher")
+    params = lv.init_random_params(cfg, jax.random.key(3))
+
+    def build(batch):
+        s = lv.LongVASession(params, cfg, scfg, state_dtype=jnp.float32,
+                             batch=batch)
+        s.encode_init_prompt([1, 2, 3, 4])
+        return s
+
+    rng = np.random.default_rng(7)
+    pattern = [(True, True), (True, False), (False, True), (True, True)]
+    frames = [[rng.uniform(0, 255, (1, 56, 56, 3)).astype(np.uint8)
+               for _ in pattern] for _ in range(2)]
+    s2 = build(2)
+    for step, act in enumerate(pattern):
+        s2.encode_video(np.stack([frames[b][step] for b in range(2)]),
+                        active=act)
+    ans = s2.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4,
+                                all_streams=True)
+    for b in range(2):
+        solo = build(1)
+        for step, act in enumerate(pattern):
+            if act[b]:
+                solo.encode_video(frames[b][step])
+        want = solo.question_answering([5, 6], [5, 6, 7], [0],
+                                       max_new_tokens=4)
+        assert ans[b] == want, (b, ans[b], want)
+
+
+def test_video_llava_churn_and_migration(tmp_path):
+    """Video-LLaVA: slot recycling + per-stream migration on the CLIP
+    no-cacher path."""
+    import os
+    from stc_tpu.utils.checkpoint import (load_stream_state,
+                                          save_stream_state)
+    cfg = vl.VideoLlavaConfig.tiny()
+    scfg = _session_cfg(cfg.tokens_per_frame)
+    params = vl.init_random_params(cfg, jax.random.key(4))
+
+    def build(batch):
+        s = vl.VideoLlavaSession(params, cfg, scfg, state_dtype=jnp.float32,
+                                 batch=batch)
+        s.encode_init_prompt([1, 2, 3, 4])
+        return s
+
+    rng = np.random.default_rng(8)
+    frames = [rng.uniform(0, 255, (1, 56, 56, 3)).astype(np.uint8)
+              for _ in range(6)]
+    s2 = build(2)
+    for i in range(3):
+        s2.encode_video(np.stack([frames[i], frames[i]]))
+    want0 = s2.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4,
+                                  all_streams=True)[0]
+    path = os.path.join(str(tmp_path), "vl_stream.npz")
+    save_stream_state(s2, 0, path)
+
+    s2.reset_streams([1])
+    for i in (3, 4):
+        s2.encode_video(np.stack([frames[i], frames[i + 1]]),
+                        active=[False, True])
+    got = s2.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4,
+                                all_streams=True)
+    # slot 1 ingested frames[4] then frames[5] (row 1 of each tick)
+    solo = build(1)
+    solo.encode_video(frames[4])
+    solo.encode_video(frames[5])
+    want1 = solo.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4)
+    assert got[1] == want1
+
+    # migrate the saved slot-0 stream into a THIRD session's slot 1
+    s3 = build(2)
+    s3.encode_video(np.stack([frames[5], frames[5]]))
+    load_stream_state(s3, 1, path)
+    got3 = s3.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4,
+                                 all_streams=True)[1]
+    assert got3 == want0
+
+
+def test_flash_vstream_multistream():
+    """Flash-VStream: batched streams answer like independent sessions."""
+    cfg = fv.FlashVStreamConfig.tiny()
+    scfg = _session_cfg(cfg.tokens_per_frame)
+    params = fv.init_random_params(cfg, jax.random.key(5))
+
+    def build(batch):
+        s = fv.FlashVStreamSession(params, cfg, scfg,
+                                   state_dtype=jnp.float32, batch=batch)
+        s.encode_init_prompt([1, 2, 3, 4])
+        return s
+
+    rng = np.random.default_rng(9)
+    fa = rng.uniform(0, 255, (3, 1, 56, 56, 3)).astype(np.uint8)
+    fb = rng.uniform(0, 255, (3, 1, 56, 56, 3)).astype(np.uint8)
+    s2 = build(2)
+    for i in range(3):
+        s2.encode_video(np.stack([fa[i], fb[i]]))
+    ans = s2.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4,
+                                all_streams=True)
+    for b, fr in enumerate((fa, fb)):
+        solo = build(1)
+        for i in range(3):
+            solo.encode_video(fr[i])
+        want = solo.question_answering([5, 6], [5, 6, 7], [0],
+                                       max_new_tokens=4)
+        assert ans[b] == want, b
