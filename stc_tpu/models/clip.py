@@ -69,12 +69,14 @@ def layer_ratios(num_layers: int, target_ratio: float,
 
 class ClipCacherState(NamedTuple):
     """Per-layer references, stacked over layers: (L, B, T, C) — one
-    reference (each stream's last chunk frame) per stream."""
+    reference (each stream's last chunk frame) per stream.  The skip
+    statistics are PER STREAM so ragged/mixed ticks and slot recycling
+    account each stream exactly."""
     ref_pre_ln2: jax.Array
     ref_mlp_post: jax.Array
     has_ref: jax.Array          # (L,) bool — reference captured yet?
-    tokens_processed: jax.Array  # () int32
-    tokens_skipped: jax.Array    # () int32
+    tokens_processed: jax.Array  # (B,) int32
+    tokens_skipped: jax.Array    # (B,) int32
 
 
 def init_clip_cacher(cfg: CLIPConfig, dtype=jnp.float32,
@@ -84,8 +86,8 @@ def init_clip_cacher(cfg: CLIPConfig, dtype=jnp.float32,
     return ClipCacherState(
         ref_pre_ln2=z, ref_mlp_post=z,
         has_ref=jnp.zeros((cfg.num_layers,), bool),
-        tokens_processed=jnp.zeros((), jnp.int32),
-        tokens_skipped=jnp.zeros((), jnp.int32))
+        tokens_processed=jnp.zeros((batch,), jnp.int32),
+        tokens_skipped=jnp.zeros((batch,), jnp.int32))
 
 
 class ClipStreamsMixin:
@@ -99,12 +101,19 @@ class ClipStreamsMixin:
             ref_pre_ln2=jnp.where(m, vstate.ref_pre_ln2,
                                   old_vstate.ref_pre_ln2),
             ref_mlp_post=jnp.where(m, vstate.ref_mlp_post,
-                                   old_vstate.ref_mlp_post)), pstate
+                                   old_vstate.ref_mlp_post),
+            tokens_processed=jnp.where(mask, vstate.tokens_processed,
+                                       old_vstate.tokens_processed),
+            tokens_skipped=jnp.where(mask, vstate.tokens_skipped,
+                                     old_vstate.tokens_skipped)), pstate
 
     def extract_stream(self, vstate, pstate, slot: int):
         import numpy as np
         return ({"ref_pre_ln2": np.asarray(vstate.ref_pre_ln2[:, slot]),
-                 "ref_mlp_post": np.asarray(vstate.ref_mlp_post[:, slot])},
+                 "ref_mlp_post": np.asarray(vstate.ref_mlp_post[:, slot]),
+                 "tokens_processed": np.asarray(
+                     vstate.tokens_processed[slot]),
+                 "tokens_skipped": np.asarray(vstate.tokens_skipped[slot])},
                 ())
 
     def restore_stream(self, vstate, pstate, slot: int, v_blob, p_blob):
@@ -114,14 +123,19 @@ class ClipStreamsMixin:
                             vstate.ref_pre_ln2.dtype)),
             ref_mlp_post=vstate.ref_mlp_post.at[:, slot].set(
                 jnp.asarray(v_blob["ref_mlp_post"],
-                            vstate.ref_mlp_post.dtype))), pstate
+                            vstate.ref_mlp_post.dtype)),
+            tokens_processed=vstate.tokens_processed.at[slot].set(
+                jnp.asarray(v_blob["tokens_processed"], jnp.int32)),
+            tokens_skipped=vstate.tokens_skipped.at[slot].set(
+                jnp.asarray(v_blob["tokens_skipped"], jnp.int32))), pstate
 
 
 def cache_stats(state: ClipCacherState) -> Dict[str, float]:
-    total = max(int(state.tokens_processed), 1)
-    return {"total_tokens_processed": int(state.tokens_processed),
-            "total_tokens_skipped": int(state.tokens_skipped),
-            "actual_skip_ratio": float(state.tokens_skipped) / total}
+    proc = int(state.tokens_processed.sum())
+    skip = int(state.tokens_skipped.sum())
+    return {"total_tokens_processed": proc,
+            "total_tokens_skipped": skip,
+            "actual_skip_ratio": skip / max(proc, 1)}
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +259,7 @@ def encode_full(params, cfg: CLIPConfig, pixels: jax.Array,
     new_cacher = cacher._replace(
         ref_pre_ln2=refs[0], ref_mlp_post=refs[1],
         has_ref=jnp.ones_like(cacher.has_ref),
-        tokens_processed=cacher.tokens_processed + F_ * T)
+        tokens_processed=cacher.tokens_processed + (F_ // B) * T)
     return out, new_cacher
 
 
@@ -305,11 +319,11 @@ def encode_cached(params, cfg: CLIPConfig, pixels: jax.Array,
             mlp_full = ref_mlp.astype(h.dtype)
             mlp_full = mlp_full.at[frow, comp_idx].set(toks)
             h = residual2 + mlp_full
-            skipped = skipped + F_ * n_skip
+            skipped = skipped + Fs * n_skip  # per stream (uniform n_skip)
         taken += 1
         if taken == n_out:
             out = h
     new_cacher = cacher._replace(
-        tokens_processed=cacher.tokens_processed + F_ * T * 1,
+        tokens_processed=cacher.tokens_processed + Fs * T,
         tokens_skipped=cacher.tokens_skipped + skipped)
     return out, new_cacher

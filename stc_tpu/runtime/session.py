@@ -380,6 +380,10 @@ class StreamingSession:
         active: (B,) bool or None (all encode).  questions/prompts: B token
         sequences (dummy entries for streams not asking; their output rows
         are still computed — SPMD-dense — and must be ignored by the caller).
+        asked: (B,) bool or None — with dummy question rows AND
+        spec_history_tokens on, pass the real-question mask so placeholder
+        rows don't pollute the per-stream draft history (the ServingEngine
+        always does).
         Returns (tokens (B, M) np, count (B,) np).
         Falls back to encode + QA dispatches on the host-tier/ablation paths.
         """

@@ -128,7 +128,6 @@ class VisionPipeline:
     def extract_stream(self, vstate, pstate, slot: int):
         """One slot's vision/pruner state as host pytrees, for per-stream
         checkpoint/migration (utils/checkpoint.save_stream_state)."""
-        import jax
         va, pa = self.stream_axes()
         return (jax.tree.map(lambda x: np.asarray(jnp.take(x, slot, axis=va)),
                              vstate),
@@ -138,7 +137,6 @@ class VisionPipeline:
     def restore_stream(self, vstate, pstate, slot: int, v_blob, p_blob):
         """Scatter a blob from extract_stream into `slot` of the live
         state; returns (vstate, pstate)."""
-        import jax
         va, pa = self.stream_axes()
 
         def put(axis):

@@ -275,3 +275,59 @@ def test_flash_vstream_multistream():
         want = solo.question_answering([5, 6], [5, 6, 7], [0],
                                        max_new_tokens=4)
         assert ans[b] == want, b
+
+
+def test_longva_churn_mixed_ticks_match_solo():
+    """LongVA slot recycling drives the MIXED full/cached vision tick (the
+    recycled slot's schedule disagrees with the live slot's): the live slot
+    stays bit-identical to an unchurned twin, the new tenant matches a
+    fresh solo session, and the per-stream skip statistics survive the
+    churn (only the recycled slot's counters reset)."""
+    cfg = lv.LongVAConfig.tiny()
+    scfg = _session_cfg(cfg.tokens_per_frame, cacher="cacher")
+    params = lv.init_random_params(cfg, jax.random.key(6))
+
+    def build(batch):
+        s = lv.LongVASession(params, cfg, scfg, state_dtype=jnp.float32,
+                             batch=batch)
+        s.encode_init_prompt([1, 2, 3, 4])
+        return s
+
+    rng = np.random.default_rng(10)
+    frames = [rng.uniform(0, 255, (1, 56, 56, 3)).astype(np.uint8)
+              for _ in range(8)]
+
+    s2 = build(2)
+    for i in range(3):
+        s2.encode_video(np.stack([frames[i], frames[i]]))
+    proc_live = int(np.asarray(s2._vstate.tokens_processed)[0])
+    assert proc_live > 0
+    s2.reset_streams([1])
+    assert int(np.asarray(s2._vstate.tokens_processed)[1]) == 0
+    assert int(np.asarray(s2._vstate.tokens_processed)[0]) == proc_live
+    # slot_chunk now [3, 0]: the next two ticks are MIXED (full vs cached
+    # parities disagree), exercising the per-slot ref selection
+    assert s2._slot_chunk.tolist() == [3, 0]
+    for i in range(3, 5):
+        s2.encode_video(np.stack([frames[i], frames[i + 2]]))
+    got = s2.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4,
+                                all_streams=True)
+
+    twin = build(2)  # never churned: live slot must match bit-exactly
+    for i in range(3):
+        twin.encode_video(np.stack([frames[i], frames[i]]))
+    for i in range(3, 5):
+        twin.encode_video(np.stack([frames[i], frames[i + 2]]))
+    want0 = twin.question_answering([5, 6], [5, 6, 7], [0],
+                                    max_new_tokens=4, all_streams=True)[0]
+    assert got[0] == want0
+
+    solo = build(1)  # the new tenant: frames[5], frames[6] from scratch
+    solo.encode_video(frames[5])
+    solo.encode_video(frames[6])
+    want1 = solo.question_answering([5, 6], [5, 6, 7], [0], max_new_tokens=4)
+    assert got[1] == want1
+    # the recycled slot's stats restarted from zero and accrued its own
+    np.testing.assert_array_equal(
+        np.asarray(s2._vstate.tokens_processed)[1],
+        np.asarray(solo._vstate.tokens_processed)[0])
