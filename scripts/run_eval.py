@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--spec_decode", type=int, default=None,
                    help="prompt-lookup speculative decode draft length "
                    "(answers are bit-identical to greedy; latency only)")
+    p.add_argument("--stream_batch", type=int, default=1,
+                   help="videos evaluated CONCURRENTLY per chip (one "
+                   "batched session, ragged multi-stream; rows identical "
+                   "to sequential). Offline-protocol datasets only.")
     p.add_argument("--rank", type=int, default=None)
     p.add_argument("--world", type=int, default=None)
     return p.parse_args()
@@ -78,7 +82,8 @@ def main():
     import stc_tpu.models.flash_vstream  # noqa: F401
     from stc_tpu.runtime.adapter import SessionAdapter
 
-    session, cfg = MODEL_REGISTRY[args.model](args.model_path)
+    session, cfg = MODEL_REGISTRY[args.model](args.model_path,
+                                              batch=args.stream_batch)
     from transformers import AutoTokenizer
     tokenizer = AutoTokenizer.from_pretrained(args.model_path)
     model = SessionAdapter(session, tokenizer)
@@ -90,7 +95,7 @@ def main():
 
     run_eval(args.dataset, model, args.save_dir, anno_path=args.anno_path,
              sample_fps=args.sample_fps, rank=rank, world=world,
-             max_samples=args.max_samples)
+             max_samples=args.max_samples, stream_batch=args.stream_batch)
     if rank == 0:
         out = merge_and_score(args.save_dir, args.dataset)
         print(json.dumps({k: v for k, v in out.items() if k != "rows"}))

@@ -40,8 +40,16 @@ def run_eval(
     world: Optional[int] = None,
     frame_loader: Optional[Callable] = None,
     max_samples: Optional[int] = None,
+    stream_batch: int = 1,
 ):
-    """Run one dataset shard; returns (rows, rank_file)."""
+    """Run one dataset shard; returns (rows, rank_file).
+
+    stream_batch > 1: CONCURRENT eval — groups of stream_batch samples
+    share one batched session (ragged multi-stream ingest + per-stream
+    batched QA, solvers.BatchedOfflineVQA).  Rows are identical to the
+    sequential solver's; the model's session must be built with
+    batch == stream_batch.  Offline-protocol datasets only.
+    """
     import jax
     rank = jax.process_index() if rank is None else rank
     world = jax.process_count() if world is None else world
@@ -51,7 +59,18 @@ def run_eval(
     if max_samples is not None:
         anno = anno[:max_samples]
 
-    solver = create_solver(ds.solver, model, sample_fps, frame_loader)
+    batched = stream_batch > 1
+    if batched:
+        assert ds.solver in ("offline", "videomme"), (
+            f"stream_batch applies to offline-protocol datasets; "
+            f"{dataset} uses the '{ds.solver}' solver")
+        from stc_tpu.eval.solvers import BatchedOfflineVQA
+        solver = BatchedOfflineVQA(model, sample_fps, frame_loader)
+        groups = [anno[i:i + stream_batch]
+                  for i in range(0, len(anno), stream_batch)]
+    else:
+        solver = create_solver(ds.solver, model, sample_fps, frame_loader)
+        groups = [[s] for s in anno]
     os.makedirs(save_dir, exist_ok=True)
     rank_file = os.path.join(save_dir, f"results_rank{rank}.json")
 
@@ -63,19 +82,21 @@ def run_eval(
     if os.environ.get("STC_CHUNK_SIZE"):
         tags["chunk_size"] = int(os.environ["STC_CHUNK_SIZE"])
 
-    done = 0
-    for i, sample in enumerate(anno):
+    for group in groups:
         n0 = len(solver.results)
         try:
-            solver(sample)
-            done += 1
-        except Exception as e:  # error row + continue, like the reference
-            solver.results.append({
-                "video_id": sample.get("video_id"), "error": str(e)})
+            if batched:
+                solver.run_batch(group)
+            else:
+                solver(group[0])
+        except Exception as e:  # error row(s) + continue, like the reference
+            for sample in group:
+                solver.results.append({
+                    "video_id": sample.get("video_id"), "error": str(e)})
         if tags:
             for r in solver.results[n0:]:
                 r.update(tags)
-        # incremental dump -> crash-resumable at sample granularity
+        # incremental dump -> crash-resumable at group granularity
         with open(rank_file, "w") as f:
             json.dump(solver.results, f)
     return solver.results, rank_file

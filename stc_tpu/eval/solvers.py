@@ -62,6 +62,10 @@ def _load_video_frames_cv2(video_path: str, sample_fps: float) -> np.ndarray:
 
 
 class BaseVQA:
+    # decode budgets (reference base_refactored.py: 16 MC / 1024 open)
+    mc_max_new = 16
+    open_max_new = 1024
+
     def __init__(self, model, sample_fps: float = 0.5,
                  frame_loader: Optional[Callable] = None):
         self.model = model
@@ -105,26 +109,32 @@ class BaseVQA:
 
     # -- answering --
     def _open_qa(self, qa, video_id):
-        question = qa["question"]
         pred = self.model.question_answering(
-            {"question": question,
-             "prompt": self.format_openqa_prompt(question)},
-            max_new_tokens=1024)
-        return {"video_id": video_id, "question": question,
+            {"question": qa["question"],
+             "prompt": self.format_openqa_prompt(qa["question"])},
+            max_new_tokens=self.open_max_new)
+        return self._open_row(qa, video_id, pred)
+
+    def _mc_qa(self, qa, video_id):
+        pred = self.model.question_answering(
+            {"question": qa["question"],
+             "prompt": self.format_mcqa_prompt(qa["question"],
+                                               qa["choices"])},
+            max_new_tokens=self.mc_max_new)
+        return self._mc_row(qa, video_id, pred)
+
+    # -- result rows (shared with the batched solver) --
+    def _open_row(self, qa, video_id, pred: str) -> dict:
+        return {"video_id": video_id, "question": qa["question"],
                 "answer": qa.get("answer"),
                 "pred_answer": pred.replace("\n", "")}
 
-    def _mc_qa(self, qa, video_id):
+    def _mc_row(self, qa, video_id, pred: str) -> dict:
         from stc_tpu.eval.scorers import extract_choice
-        question, choices = qa["question"], qa["choices"]
-        pred = self.model.question_answering(
-            {"question": question,
-             "prompt": self.format_mcqa_prompt(question, choices)},
-            max_new_tokens=16)
         pred_choice = extract_choice(pred)
         correct = self._correct_choice(qa)
-        return {"video_id": video_id, "question": question,
-                "choices": choices, "answer": qa.get("answer"),
+        return {"video_id": video_id, "question": qa["question"],
+                "choices": qa["choices"], "answer": qa.get("answer"),
                 "correct_choice": correct,
                 "pred_answer": pred.replace("\n", ""),
                 "pred_choice": pred_choice,
@@ -183,6 +193,91 @@ class StreamVQA(BaseVQA):
             r = self._open_qa(qa, sample["video_id"])
             out.append(r)
             self.results.append(r)
+        return out
+
+
+class BatchedOfflineVQA(BaseVQA):
+    """Concurrent offline eval: B videos share ONE batched session.
+
+    Videos of different lengths ingest via ragged multi-stream ticks (per-
+    chunk active masks; tail chunks grouped by size), and each question
+    round answers per-stream questions in one batched dispatch — so a
+    single chip evaluates B samples at a time, with every row EXACTLY equal
+    to the sequential solver's (per-stream parity is bit-exact; QA rounds
+    are grouped by question type so each keeps its own decode budget).
+    The reference gets eval parallelism only by replicating the model one
+    process per worker (run_distributed.py / eval.py mp.spawn).
+    """
+
+    def run_batch(self, samples: List[dict]) -> List[dict]:
+        model = self.model
+        sess = model.session
+        B = sess.batch
+        assert 0 < len(samples) <= B, (len(samples), B)
+        frames = [self.frame_loader(s["video_path"], self.sample_fps)
+                  for s in samples]
+        lens = [len(f) for f in frames] + [0] * (B - len(samples))
+        n = getattr(sess.scfg, "encode_chunk_frames", 1)
+
+        model.clear_cache()
+        model.encode_init_prompt()
+        zero = np.zeros_like(frames[0][:1])
+
+        def rows_for(size, start_of, act):
+            return np.stack([
+                frames[b][start_of(b):start_of(b) + size] if act[b]
+                else np.broadcast_to(zero, (size,) + zero.shape[1:])
+                for b in range(B)])
+
+        # full chunks, ragged over stream lengths
+        for start in range(0, max(lens), n):
+            act = [l - start >= n for l in lens]
+            if any(act):
+                model.encode_video(rows_for(n, lambda b: start, act),
+                                   active=act)
+        # tail chunks, grouped by remainder size (each stream's own frame
+        # order is preserved — its tail follows its full chunks)
+        tails: Dict[int, List[int]] = {}
+        for b, l in enumerate(lens):
+            if l % n:
+                tails.setdefault(l % n, []).append(b)
+        for r, bs in sorted(tails.items()):
+            act = [b in bs for b in range(B)]
+            model.encode_video(rows_for(r, lambda b: lens[b] - r, act),
+                               active=act)
+
+        # question rounds: per-stream questions batched, grouped by type so
+        # MC (16-token budget) and open (1024) stay exact vs sequential
+        per_sample: List[List[dict]] = [[] for _ in samples]
+        max_q = max(len(s["conversations"]) for s in samples)
+        for qi in range(max_q):
+            round_qas = [(b, samples[b]["conversations"][qi])
+                         for b in range(len(samples))
+                         if qi < len(samples[b]["conversations"])]
+            for mc, budget in ((True, self.mc_max_new),
+                               (False, self.open_max_new)):
+                group = [(b, qa) for b, qa in round_qas
+                         if ("choices" in qa) == mc]
+                if not group:
+                    continue
+                inputs = [None] * B
+                for b, qa in group:
+                    prompt = (self.format_mcqa_prompt(qa["question"],
+                                                      qa["choices"])
+                              if mc else
+                              self.format_openqa_prompt(qa["question"]))
+                    inputs[b] = {"question": qa["question"],
+                                 "prompt": prompt}
+                preds = model.question_answering_batch(
+                    inputs, max_new_tokens=budget)
+                for b, qa in group:
+                    row = (self._mc_row(qa, samples[b]["video_id"],
+                                        preds[b]) if mc else
+                           self._open_row(qa, samples[b]["video_id"],
+                                          preds[b]))
+                    per_sample[b].append(row)
+        out = [r for rows in per_sample for r in rows]
+        self.results.extend(out)
         return out
 
 

@@ -81,10 +81,13 @@ class ClipCacherState(NamedTuple):
 
 def init_clip_cacher(cfg: CLIPConfig, dtype=jnp.float32,
                      batch: int = 1) -> ClipCacherState:
-    z = jnp.zeros((cfg.num_layers, batch, cfg.num_tokens, cfg.hidden_size),
-                  dtype)
+    # distinct buffers per leaf (donated jits reject aliased donors)
+    def z():
+        return jnp.zeros((cfg.num_layers, batch, cfg.num_tokens,
+                          cfg.hidden_size), dtype)
+
     return ClipCacherState(
-        ref_pre_ln2=z, ref_mlp_post=z,
+        ref_pre_ln2=z(), ref_mlp_post=z(),
         has_ref=jnp.zeros((cfg.num_layers,), bool),
         tokens_processed=jnp.zeros((batch,), jnp.int32),
         tokens_skipped=jnp.zeros((batch,), jnp.int32))

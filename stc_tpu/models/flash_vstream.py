@@ -95,7 +95,8 @@ def init_random_params(cfg: FlashVStreamConfig, key, dtype=jnp.float32):
 
 
 @register_model("flash_vstream_7b")
-def load_flash_vstream(model_path: str, scfg=None, dtype=jnp.bfloat16):
+def load_flash_vstream(model_path: str, scfg=None, dtype=jnp.bfloat16,
+                       batch: int = 1):
     """Convert + assemble from a Flash-VStream (llava_vstream) checkpoint.
 
     Reference counterpart: model/flash_vstream_rekv.py:126-200.  Same llava
@@ -129,4 +130,5 @@ def load_flash_vstream(model_path: str, scfg=None, dtype=jnp.bfloat16):
     cfg = FlashVStreamConfig(vision=vcfg, text=tcfg,
                              spatial_tokens=min(64, vcfg.grid ** 2))
     scfg = scfg or default_session_config(cfg)
-    return FlashVStreamSession(params, cfg, scfg, state_dtype=dtype), cfg
+    return FlashVStreamSession(params, cfg, scfg, state_dtype=dtype,
+                               batch=batch), cfg

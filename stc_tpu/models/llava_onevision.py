@@ -276,7 +276,7 @@ def init_random_params(cfg: LlavaOVConfig, key, dtype=jnp.float32):
 
 @register_model("llava_ov_7b")
 def load_llava_ov_7b(model_path: str, scfg: Optional[SessionConfig] = None,
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16, batch: int = 1):
     """Convert + assemble from an HF checkpoint directory.
 
     Requires local HF weights (this environment has no network egress);
@@ -313,7 +313,8 @@ def load_llava_ov_7b(model_path: str, scfg: Optional[SessionConfig] = None,
         "text": convert_qwen2(state, tcfg, prefix=lpfx, dtype=dtype),
     }
     scfg = scfg or SessionConfig.from_env()
-    return build_session(params, cfg, scfg, state_dtype=dtype), cfg
+    return build_session(params, cfg, scfg, state_dtype=dtype,
+                         batch=batch), cfg
 
 
 def _load_hf_state(model_path: str):

@@ -146,7 +146,8 @@ def init_random_params(cfg: LongVAConfig, key, dtype=jnp.float32):
 
 
 @register_model("longva_7b")
-def load_longva_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
+def load_longva_7b(model_path: str, scfg=None, dtype=jnp.bfloat16,
+                   batch: int = 1):
     """Convert + assemble from a LongVA (llava_qwen) checkpoint directory.
 
     Reference counterpart: model/longva/model/builder.py:27
@@ -179,4 +180,5 @@ def load_longva_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
     }
     cfg = LongVAConfig(vision=vcfg, text=tcfg)
     scfg = scfg or default_session_config(cfg)
-    return LongVASession(params, cfg, scfg, state_dtype=dtype), cfg
+    return LongVASession(params, cfg, scfg, state_dtype=dtype,
+                         batch=batch), cfg

@@ -69,9 +69,13 @@ class CacherState(NamedTuple):
 
 def init_cacher_state(cfg: SiglipConfig, batch: int,
                       dtype=jnp.float32) -> CacherState:
-    z = jnp.zeros((cfg.num_layers, batch, cfg.num_tokens, cfg.hidden_size),
-                  dtype)
-    return CacherState(ref_k=z, ref_v=z, ref_attn=z, ref_mlp=z)
+    # DISTINCT buffers per leaf: donated jits reject a state whose leaves
+    # alias one array ("donate the same buffer twice")
+    def z():
+        return jnp.zeros((cfg.num_layers, batch, cfg.num_tokens,
+                          cfg.hidden_size), dtype)
+
+    return CacherState(ref_k=z(), ref_v=z(), ref_attn=z(), ref_mlp=z())
 
 
 # ---------------------------------------------------------------------------

@@ -132,7 +132,8 @@ def init_random_params(cfg: VideoLlavaConfig, key, dtype=jnp.float32):
 
 
 @register_model("video_llava_7b")
-def load_video_llava_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
+def load_video_llava_7b(model_path: str, scfg=None, dtype=jnp.bfloat16,
+                        batch: int = 1):
     """Convert + assemble from a Video-LLaVA-hf checkpoint directory.
 
     Reference counterpart: model/video_llava_rekv.py:100-140 (HF
@@ -165,4 +166,5 @@ def load_video_llava_7b(model_path: str, scfg=None, dtype=jnp.bfloat16):
     }
     cfg = VideoLlavaConfig(vision=vcfg, text=tcfg)
     scfg = scfg or default_session_config(cfg)
-    return VideoLlavaSession(params, cfg, scfg, state_dtype=dtype), cfg
+    return VideoLlavaSession(params, cfg, scfg, state_dtype=dtype,
+                             batch=batch), cfg

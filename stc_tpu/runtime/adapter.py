@@ -64,8 +64,11 @@ class SessionAdapter:
     def encode_init_prompt(self):
         self.session.encode_init_prompt(self._init_ids)
 
-    def encode_video(self, frames):
-        self.session.encode_video(frames)
+    def encode_video(self, frames, active=None):
+        if active is None:
+            self.session.encode_video(frames)
+        else:
+            self.session.encode_video(frames, active=active)
 
     def question_answering(self, input_text, max_new_tokens: int = 128) -> str:
         if isinstance(input_text, str):
@@ -78,6 +81,32 @@ class SessionAdapter:
             stop_token_ids=self.stop_token_ids,
             max_new_tokens=max_new_tokens)
         return self.tokenizer.decode(out_ids, skip_special_tokens=True)
+
+    def question_answering_batch(self, inputs,
+                                 max_new_tokens: int = 128):
+        """Per-stream questions in one batched QA: `inputs[b]` is a
+        str / {"question","prompt"} dict, or None for an idle slot (its
+        row rides as a masked dummy).  Returns one decoded string per
+        stream (None for idle slots)."""
+        B = self.session.batch
+        assert len(inputs) == B, (len(inputs), B)
+        qs, ps, asked = [], [], []
+        for it in inputs:
+            if it is None:
+                qs.append([0])
+                ps.append([0])
+                asked.append(False)
+                continue
+            q = it if isinstance(it, str) else it["question"]
+            p = it if isinstance(it, str) else it["prompt"]
+            qs.append(self._encode(q))
+            ps.append(self._encode(p))
+            asked.append(True)
+        outs = self.session.question_answering_batch(
+            qs, ps, self.stop_token_ids, max_new_tokens=max_new_tokens,
+            asked=asked)
+        return [self.tokenizer.decode(o, skip_special_tokens=True)
+                if a else None for o, a in zip(outs, asked)]
 
     def calc_memory_usage(self) -> int:
         return self.session.kv_memory_bytes()
