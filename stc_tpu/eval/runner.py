@@ -66,6 +66,7 @@ def run_eval(
             f"{dataset} uses the '{ds.solver}' solver")
         from stc_tpu.eval.solvers import BatchedOfflineVQA
         solver = BatchedOfflineVQA(model, sample_fps, frame_loader)
+        solver.instrumented = ds.solver == "videomme"
         groups = [anno[i:i + stream_batch]
                   for i in range(0, len(anno), stream_batch)]
     else:

@@ -207,7 +207,13 @@ class BatchedOfflineVQA(BaseVQA):
     are grouped by question type so each keeps its own decode budget).
     The reference gets eval parallelism only by replicating the model one
     process per worker (run_distributed.py / eval.py mp.spawn).
+
+    instrumented=True (videomme protocol) stamps rows with encode timing +
+    KV memory like VideoMMEVQA — encode_time_s is the BATCH ingest time
+    (shared by the B concurrent videos), not a per-video figure.
     """
+
+    instrumented = False
 
     def run_batch(self, samples: List[dict]) -> List[dict]:
         model = self.model
@@ -219,6 +225,7 @@ class BatchedOfflineVQA(BaseVQA):
         lens = [len(f) for f in frames] + [0] * (B - len(samples))
         n = getattr(sess.scfg, "encode_chunk_frames", 1)
 
+        t0 = time.perf_counter()
         model.clear_cache()
         model.encode_init_prompt()
         zero = np.zeros_like(frames[0][:1])
@@ -245,6 +252,7 @@ class BatchedOfflineVQA(BaseVQA):
             act = [b in bs for b in range(B)]
             model.encode_video(rows_for(r, lambda b: lens[b] - r, act),
                                active=act)
+        encode_s = time.perf_counter() - t0
 
         # question rounds: per-stream questions batched, grouped by type so
         # MC (16-token budget) and open (1024) stay exact vs sequential
@@ -277,6 +285,11 @@ class BatchedOfflineVQA(BaseVQA):
                                           preds[b]))
                     per_sample[b].append(row)
         out = [r for rows in per_sample for r in rows]
+        if self.instrumented:  # videomme protocol stats, per batch
+            kv_gb = round(model.calc_memory_usage() / 1024 ** 3, 3)
+            for r in out:
+                r["encode_time_s"] = round(encode_s, 3)
+                r["kv_memory_gb"] = kv_gb
         self.results.extend(out)
         return out
 
