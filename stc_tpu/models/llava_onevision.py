@@ -26,7 +26,7 @@ from stc_tpu.models import register_model
 from stc_tpu.models import qwen2 as qw
 from stc_tpu.models import siglip as sg
 from stc_tpu.runtime.session import StreamingSession
-from stc_tpu.runtime.vlm import VLMSession
+from stc_tpu.runtime.vlm import VisionPipeline, VLMSession
 
 # SigLIP image preprocessing constants (HF SiglipImageProcessor defaults)
 IMAGE_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
@@ -160,7 +160,7 @@ class FrameEncoder:
 # Assembly
 # ---------------------------------------------------------------------------
 
-class LlavaOVVision:
+class LlavaOVVision(VisionPipeline):
     """llava-ov vision strategy: SigLIP(+STC-Cacher) -> projector -> 2x
     bilinear pooling -> STC-Pruner.  Supports B parallel streams (frames are
     stream-major on the tower's batch axis; cacher refs + pruner memory are
