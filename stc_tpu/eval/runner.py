@@ -48,7 +48,11 @@ def run_eval(
     share one batched session (ragged multi-stream ingest + per-stream
     batched QA, solvers.BatchedOfflineVQA).  Rows are identical to the
     sequential solver's; the model's session must be built with
-    batch == stream_batch.  Offline-protocol datasets only.
+    batch == stream_batch.  Offline-protocol datasets only.  Note: a
+    group's decoded frames are host-resident together (peak host memory
+    ~stream_batch x sequential), and unequal-length groups must fit the
+    device KV store (host-tier spill needs uniform streams — the solver
+    fails fast with the knobs otherwise).
     """
     import jax
     rank = jax.process_index() if rank is None else rank
@@ -64,6 +68,11 @@ def run_eval(
         assert ds.solver in ("offline", "videomme"), (
             f"stream_batch applies to offline-protocol datasets; "
             f"{dataset} uses the '{ds.solver}' solver")
+        sess_batch = getattr(getattr(model, "session", None), "batch", None)
+        assert sess_batch is None or sess_batch == stream_batch, (
+            f"the model's session was built with batch={sess_batch} but "
+            f"stream_batch={stream_batch}; build it with "
+            f"batch=stream_batch (loaders take batch=)")
         from stc_tpu.eval.solvers import BatchedOfflineVQA
         solver = BatchedOfflineVQA(model, sample_fps, frame_loader)
         solver.instrumented = ds.solver == "videomme"

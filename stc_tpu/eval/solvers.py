@@ -220,48 +220,83 @@ class BatchedOfflineVQA(BaseVQA):
         sess = model.session
         B = sess.batch
         assert 0 < len(samples) <= B, (len(samples), B)
-        frames = [self.frame_loader(s["video_path"], self.sample_fps)
-                  for s in samples]
-        lens = [len(f) for f in frames] + [0] * (B - len(samples))
+        # per-sample loader isolation: one unreadable video becomes one
+        # error row, not a whole-group loss (its slot just stays inactive)
+        frames: List[Optional[np.ndarray]] = []
+        load_err: List[Optional[str]] = []
+        for s in samples:
+            try:
+                frames.append(self.frame_loader(s["video_path"],
+                                                self.sample_fps))
+                load_err.append(None)
+            except Exception as e:
+                frames.append(None)
+                load_err.append(str(e))
+        lens = [len(f) if f is not None else 0 for f in frames]
+        lens += [0] * (B - len(samples))
         n = getattr(sess.scfg, "encode_chunk_frames", 1)
+
+        # host-tier spill needs UNIFORM streams (eviction shifts every ring
+        # together); fail fast with the knobs instead of mid-ingest
+        cap = sess.rekv.max_blocks
+        if max(lens) > cap and len({l for l in lens if l}) > 1:
+            raise RuntimeError(
+                f"batched eval group exceeds device KV capacity "
+                f"(longest video {max(lens)} blocks > max_blocks={cap}) "
+                "with UNEQUAL lengths — host-tier eviction shifts all "
+                "streams' rings together.  Raise ReKVConfig.max_blocks, "
+                "lower --stream_batch, or group equal-length videos.")
 
         t0 = time.perf_counter()
         model.clear_cache()
         model.encode_init_prompt()
-        zero = np.zeros_like(frames[0][:1])
 
-        def rows_for(size, start_of, act):
-            return np.stack([
-                frames[b][start_of(b):start_of(b) + size] if act[b]
-                else np.broadcast_to(zero, (size,) + zero.shape[1:])
-                for b in range(B)])
+        # videos keep their NATIVE resolution until the on-device resize
+        # (exactly like the sequential path), so ticks are grouped by
+        # resolution: streams sharing (H, W) batch into one dispatch
+        res_groups: Dict[tuple, List[int]] = {}
+        for b, f in enumerate(frames):
+            if f is not None and len(f):
+                res_groups.setdefault(f.shape[1:], []).append(b)
+        for res, slots in res_groups.items():
+            zero = np.zeros((1,) + res, dtype=frames[slots[0]].dtype)
 
-        # full chunks, ragged over stream lengths
-        for start in range(0, max(lens), n):
-            act = [l - start >= n for l in lens]
-            if any(act):
-                model.encode_video(rows_for(n, lambda b: start, act),
+            def rows_for(size, start_of, act):
+                return np.stack([
+                    frames[b][start_of(b):start_of(b) + size] if act[b]
+                    else np.broadcast_to(zero, (size,) + res)
+                    for b in range(B)])
+
+            # full chunks, ragged over this resolution group's lengths
+            for start in range(0, max(lens[b] for b in slots), n):
+                act = [b in slots and lens[b] - start >= n
+                       for b in range(B)]
+                if any(act):
+                    model.encode_video(rows_for(n, lambda b: start, act),
+                                       active=act)
+            # tail chunks, grouped by remainder size (each stream's own
+            # frame order is preserved — its tail follows its full chunks)
+            tails: Dict[int, List[int]] = {}
+            for b in slots:
+                if lens[b] % n:
+                    tails.setdefault(lens[b] % n, []).append(b)
+            for r, bs in sorted(tails.items()):
+                act = [b in bs for b in range(B)]
+                model.encode_video(rows_for(r, lambda b: lens[b] - r, act),
                                    active=act)
-        # tail chunks, grouped by remainder size (each stream's own frame
-        # order is preserved — its tail follows its full chunks)
-        tails: Dict[int, List[int]] = {}
-        for b, l in enumerate(lens):
-            if l % n:
-                tails.setdefault(l % n, []).append(b)
-        for r, bs in sorted(tails.items()):
-            act = [b in bs for b in range(B)]
-            model.encode_video(rows_for(r, lambda b: lens[b] - r, act),
-                               active=act)
         encode_s = time.perf_counter() - t0
 
         # question rounds: per-stream questions batched, grouped by type so
         # MC (16-token budget) and open (1024) stay exact vs sequential
-        per_sample: List[List[dict]] = [[] for _ in samples]
+        per_sample: List[List[dict]] = [
+            [{"video_id": s.get("video_id"), "error": e}] if e else []
+            for s, e in zip(samples, load_err)]
         max_q = max(len(s["conversations"]) for s in samples)
         for qi in range(max_q):
             round_qas = [(b, samples[b]["conversations"][qi])
                          for b in range(len(samples))
-                         if qi < len(samples[b]["conversations"])]
+                         if load_err[b] is None
+                         and qi < len(samples[b]["conversations"])]
             for mc, budget in ((True, self.mc_max_new),
                                (False, self.open_max_new)):
                 group = [(b, qa) for b, qa in round_qas
@@ -285,11 +320,15 @@ class BatchedOfflineVQA(BaseVQA):
                                           preds[b]))
                     per_sample[b].append(row)
         out = [r for rows in per_sample for r in rows]
-        if self.instrumented:  # videomme protocol stats, per batch
+        if self.instrumented:
+            # videomme protocol stats, per BATCH: encode_time_s covers the
+            # whole group's ingest and kv_memory_gb is the SHARED B-stream
+            # store (≈ stream_batch x the sequential per-video figure)
             kv_gb = round(model.calc_memory_usage() / 1024 ** 3, 3)
             for r in out:
-                r["encode_time_s"] = round(encode_s, 3)
-                r["kv_memory_gb"] = kv_gb
+                if "error" not in r:
+                    r["encode_time_s"] = round(encode_s, 3)
+                    r["kv_memory_gb"] = kv_gb
         self.results.extend(out)
         return out
 

@@ -111,3 +111,87 @@ def test_batched_eval_rejects_stream_protocol(tmp_path):
         run_eval("rvs_ego", make_model(params, cfg, 2),
                  str(tmp_path / "x"), anno_path=str(anno_path),
                  rank=0, world=1, frame_loader=loader, stream_batch=2)
+
+
+RES = {"v0": (56, 56), "v1": (48, 64), "v2": (56, 56), "v3": (48, 64),
+       "v4": (40, 40)}
+
+
+def loader_mixed_res(path, fps):
+    rng = np.random.default_rng(int(path[1:]) + 300)
+    h, w = RES[path]
+    return rng.integers(0, 256, size=(LENS[path], h, w, 3), dtype=np.uint8)
+
+
+def test_batched_eval_mixed_resolutions(tmp_path, monkeypatch):
+    """Videos keep native resolution until the on-device resize (like the
+    sequential path); ticks group by (H, W) and rows still match exactly."""
+    monkeypatch.setattr(BaseVQA, "open_max_new", 8)
+    cfg = lo.LlavaOVConfig.tiny()
+    params = lo.init_random_params(cfg, jax.random.key(22))
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(ANNO))
+
+    seq_rows, _ = run_eval("mlvu", make_model(params, cfg, 1),
+                           str(tmp_path / "seq"), anno_path=str(anno_path),
+                           rank=0, world=1, frame_loader=loader_mixed_res)
+    bat_rows, _ = run_eval("mlvu", make_model(params, cfg, 3),
+                           str(tmp_path / "bat"), anno_path=str(anno_path),
+                           rank=0, world=1, frame_loader=loader_mixed_res,
+                           stream_batch=3)
+    assert bat_rows == seq_rows
+
+
+def test_batched_eval_isolates_loader_failures(tmp_path, monkeypatch):
+    """One unreadable video costs one error row; the rest of its group
+    still evaluates and matches the sequential rows."""
+    monkeypatch.setattr(BaseVQA, "open_max_new", 8)
+
+    def flaky(path, fps):
+        if path == "v1":
+            raise IOError("corrupt container")
+        return loader(path, fps)
+
+    cfg = lo.LlavaOVConfig.tiny()
+    params = lo.init_random_params(cfg, jax.random.key(23))
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(ANNO[:3]))
+
+    bat_rows, _ = run_eval("mlvu", make_model(params, cfg, 3),
+                           str(tmp_path / "bat"), anno_path=str(anno_path),
+                           rank=0, world=1, frame_loader=flaky,
+                           stream_batch=3)
+    errs = [r for r in bat_rows if "error" in r]
+    assert len(errs) == 1 and errs[0]["video_id"] == "v1"
+    seq_rows, _ = run_eval("mlvu", make_model(params, cfg, 1),
+                           str(tmp_path / "seq"),
+                           anno_path=str(anno_path), rank=0, world=1,
+                           frame_loader=loader)
+    ok = [r for r in bat_rows if "error" not in r]
+    want = [r for r in seq_rows if r["video_id"] != "v1"]
+    assert ok == want
+
+
+def test_batched_eval_guards(tmp_path):
+    """Capacity (unequal long videos) and batch-mismatch fail fast with
+    actionable messages."""
+    from stc_tpu.eval.solvers import BatchedOfflineVQA
+    cfg = lo.LlavaOVConfig.tiny()
+    params = lo.init_random_params(cfg, jax.random.key(24))
+    model = make_model(params, cfg, 2)
+
+    def long_loader(path, fps):
+        n = {"v0": 200, "v1": 3}[path]
+        rng = np.random.default_rng(0)
+        return rng.integers(0, 256, size=(n, 56, 56, 3), dtype=np.uint8)
+
+    solver = BatchedOfflineVQA(model, 0.5, long_loader)
+    with pytest.raises(RuntimeError, match="max_blocks"):
+        solver.run_batch(ANNO[:2])
+
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(ANNO[:2]))
+    with pytest.raises(AssertionError, match="batch="):
+        run_eval("mlvu", model, str(tmp_path / "x"),
+                 anno_path=str(anno_path), rank=0, world=1,
+                 frame_loader=loader, stream_batch=4)
