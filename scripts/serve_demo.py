@@ -58,7 +58,8 @@ def main():
         rekv = ReKVConfig(n_init=4, n_local=128, block_size=8,
                           exc_block_size=8, topk=4, max_blocks=256,
                           max_prompt_tokens=16, max_new_tokens=8,
-                          spec_decode_draft=args.spec)
+                          spec_decode_draft=args.spec,
+                          spec_history_tokens=256 if args.spec else 0)
         q_vocab = mcfg.vocab_size
     else:
         mcfg = qw.Qwen2Config(vocab_size=151936, hidden_size=896,
@@ -68,7 +69,8 @@ def main():
         rekv = ReKVConfig(n_init=14, n_local=15000, block_size=60,
                           exc_block_size=60, topk=64, max_blocks=1024,
                           max_prompt_tokens=64, max_new_tokens=16,
-                          spec_decode_draft=args.spec)
+                          spec_decode_draft=args.spec,
+                          spec_history_tokens=512 if args.spec else 0)
         q_vocab = 1000
     dtype = jnp.float32 if args.size == "tiny" else jnp.bfloat16
     params = qw.init_params(mcfg, jax.random.key(0), dtype=dtype)
