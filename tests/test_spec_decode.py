@@ -235,3 +235,40 @@ def test_spec_accepts_repetitive_continuations():
                                             stop, 16, ctx, cl)
     np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_spec))
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_spec))
+
+
+def test_spec_history_through_serving_engine():
+    """Full engine scenario (multiplexed slots, fused ticks, churn) with
+    speculation + cross-question history on: every answer bit-identical to
+    the same scenario with speculation off."""
+    from stc_tpu.runtime.serving import ServingEngine
+    hist = dataclasses.replace(SPEC, spec_history_tokens=96)
+    results = {}
+    for name, rc in (("off", RC), ("on", hist)):
+        mcfg = qw.Qwen2Config.tiny()
+        params = qw.init_params(mcfg, jax.random.key(29))
+        sess = _sess(params, mcfg, 2, rc)
+        eng = ServingEngine(sess, STOP, max_new_tokens=6)
+        rng = np.random.default_rng(29)
+        rids = []
+        res = {}
+        for tick in range(6):
+            c = rng.normal(size=(8, mcfg.hidden_size)).astype(np.float32)
+            eng.submit_chunk(0, c)
+            if tick % 2 == 0:
+                eng.submit_chunk(1, c)
+            if tick in (2, 4):
+                q, p = QUESTIONS[tick % len(QUESTIONS)]
+                rids.append(eng.submit_question(tick % 2, q, p))
+            res.update(eng.step())
+        eng.retire(1)
+        slot = eng.admit()
+        eng.submit_chunk(slot, rng.normal(
+            size=(8, mcfg.hidden_size)).astype(np.float32))
+        q, p = QUESTIONS[0]
+        rids.append(eng.submit_question(slot, q, p))
+        res.update(eng.run())
+        assert set(res) == set(rids)
+        results[name] = sorted(
+            (rid, tuple(v["tokens"])) for rid, v in res.items())
+    assert results["on"] == results["off"]
