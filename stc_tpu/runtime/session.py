@@ -36,6 +36,14 @@ def _bucket(n: int, cap: int) -> int:
     return min(b, cap)
 
 
+def _stop_arr(stop_token_ids) -> np.ndarray:
+    """Fixed-width stop-token operand (-1 padded) so the decode jits see one
+    shape across stop sets."""
+    arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
+    arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids), np.int32)
+    return arr
+
+
 def _resolve_backend(name: str) -> str:
     """'auto' -> fused Pallas attention on accelerators, jnp on CPU."""
     if name != "auto":
@@ -412,9 +420,7 @@ class StreamingSession:
                 qw.serve_step, cfg=self.mcfg, rekv=rc,
                 attn_backend=self.attn_backend),
                 static_argnames=("max_new_tokens",), donate_argnames=("kvs",))
-        stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
-        stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
-                                                    np.int32)
+        stop_arr = _stop_arr(stop_token_ids)
         mask = (jnp.ones((B,), bool) if act_dev is None else act_dev)
         self.kvs, tokens, count = self._serve_jit(
             self.params, kvs=self.kvs, embeds=feats, active=mask,
@@ -525,9 +531,7 @@ class StreamingSession:
             arr[:, :len(ids)] = np.asarray(ids, dtype=np.int32)
             ext_idx = jnp.asarray(arr)
 
-        stop_arr = np.full((max(4, len(stop_token_ids)),), -1, np.int32)
-        stop_arr[:len(stop_token_ids)] = np.asarray(list(stop_token_ids),
-                                                    np.int32)
+        stop_arr = _stop_arr(stop_token_ids)
 
         q_len_np = np.asarray(q_len)
         q_len = jnp.asarray(q_len, jnp.int32)

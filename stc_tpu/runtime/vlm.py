@@ -166,22 +166,18 @@ class VLMSession(StreamingSession):
         from stc_tpu.kvcache.engine import n_window_pages
         self._W = n_window_pages(rekv)
 
-        def _frame(params, pixels, kvs, vstate, pstate, active=None, *,
-                   cached, bucket):
-            pixels = vision.device_preprocess(pixels)
-            path = vision.cached if cached else vision.full
-            flat, vstate, pstate = path(params, pixels, vstate, pstate)
+        def _append_flat(params, flat, kvs, bucket, active):
+            """Append pruned features to the stream KV, one attention call
+            per exc chunk (reference exc_block_size semantics) — a whole
+            multi-frame chunk is ONE append when exc_block_size covers it.
+            Partial windows take the XLA path (cost scales with the bucket);
+            the fused Pallas kernel wins only at full window on this
+            platform (~1.1 ms fixed cost per pallas_call)."""
             S = rekv.block_size
             assert flat.shape[1] % S == 0, (flat.shape, S)
-            # partial windows take the XLA path (cost scales with the bucket);
-            # the fused Pallas kernel wins only at full window on this
-            # platform (~1.1 ms fixed cost per pallas_call)
             backend = (self.attn_backend if bucket >= self._W else
                        ("jnp" if self.attn_backend == "pallas"
                         else self.attn_backend))
-            # one attention call per exc chunk (reference exc_block_size
-            # semantics) — a whole multi-frame chunk is ONE append when
-            # exc_block_size covers it, amortizing per-op overhead
             exc = rekv.exc_block_size
             for i in range(0, flat.shape[1], exc):
                 _, kvs = qw.encode_step(params["text"], text_cfg, rekv, kvs,
@@ -190,6 +186,14 @@ class VLMSession(StreamingSession):
                                         attn_backend=backend,
                                         win_pages=bucket,
                                         active=active)
+            return kvs
+
+        def _frame(params, pixels, kvs, vstate, pstate, active=None, *,
+                   cached, bucket):
+            pixels = vision.device_preprocess(pixels)
+            path = vision.cached if cached else vision.full
+            flat, vstate, pstate = path(params, pixels, vstate, pstate)
+            kvs = _append_flat(params, flat, kvs, bucket, active)
             return kvs, vstate, pstate
 
         def _frame_ragged(params, pixels, kvs, vstate, pstate, active, *,
@@ -217,17 +221,7 @@ class VLMSession(StreamingSession):
             flat = jnp.where(need_full.reshape(B, 1, 1), flat_f, flat_c)
             new_v, new_p = vision.select_streams(v_f, p_f, v_c, p_c,
                                                  need_full)
-            S = rekv.block_size
-            assert flat.shape[1] % S == 0, (flat.shape, S)
-            backend = (self.attn_backend if bucket >= self._W else
-                       ("jnp" if self.attn_backend == "pallas"
-                        else self.attn_backend))
-            exc = rekv.exc_block_size
-            for i in range(0, flat.shape[1], exc):
-                _, kvs = qw.encode_step(params["text"], text_cfg, rekv, kvs,
-                                        flat[:, i:i + exc], is_init=False,
-                                        attn_backend=backend,
-                                        win_pages=bucket, active=active)
+            kvs = _append_flat(params, flat, kvs, bucket, active)
             if active is not None:
                 new_v, new_p = vision.select_streams(new_v, new_p, vstate,
                                                      pstate, active)
