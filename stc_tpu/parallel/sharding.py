@@ -129,6 +129,24 @@ def decode_kv_specs() -> DecodeKV:
     )
 
 
+def shard_vision_sp(mesh):
+    """Specs for SEQUENCE(temporal)-parallel vision chunks: the stream-major
+    frame axis (B*F) of a chunk's pixels shards over the combined
+    ('dp', 'sp') axes — each dp row holds one stream's frames, sub-split
+    across sp — and the cacher reference state stays per-stream on dp (each
+    stream's reference frame is read by all of its frames' sp shards; GSPMD
+    broadcasts it over sp, which is free: refs are one frame per stream).
+
+    Returns (pixel_spec, cacher_spec).  Inside jit nothing else changes:
+    tower/projector/pooling are frame-local so sp needs no collectives, and
+    the all-gather of the pruned tokens to the LM's P('dp', None, None)
+    embeds rides ICI at the vision->LM boundary (tests/test_sp.py proves
+    numerical equality with the unsharded run)."""
+    del mesh  # uniform across mesh shapes; kept for call-site symmetry
+    return (P(("dp", "sp"), None, None, None),
+            P(None, "dp", None, None))
+
+
 def shard_pytree(tree, specs, mesh):
     """device_put every leaf with its NamedSharding (PartitionSpec is a
     pytree leaf, so the two trees align)."""
