@@ -177,7 +177,10 @@ class ServingEngine:
         questions = [(r.question_ids if r else [0]) for r in ask]
         prompts = [(r.prompt_ids if r else [0]) for r in ask]
         asked = [r is not None for r in ask]
-        if any_enc and self._is_features_session():
+        if any_enc:
+            # both session kinds fuse encode+QA into one dispatch on the hot
+            # path: features via session.serve -> qwen2.serve_step, pixels
+            # via VLMSession.serve (vision tower rides the same dispatch)
             tokens, count = self.sess.serve(
                 feats, active, questions, prompts, self.stop_token_ids,
                 max_new_tokens=self.max_new_tokens, asked=asked)
@@ -186,8 +189,6 @@ class ServingEngine:
             answers = [[int(t) for t in tokens[b, :int(count[b])]]
                        for b in range(self.n_slots)]
         else:
-            if any_enc:
-                self._encode(feats, active)
             answers = self.sess.question_answering_batch(
                 questions, prompts, self.stop_token_ids,
                 max_new_tokens=self.max_new_tokens, asked=asked)
@@ -209,8 +210,7 @@ class ServingEngine:
 
     # ------------------------------------------------------------------ #
     def _is_features_session(self) -> bool:
-        # VLMSession ingests pixels through its own fused vision+LM jits;
-        # the fused serve path is (so far) features-only
+        # VLMSession ingests pixels through its own fused vision+LM jits
         return not hasattr(self.sess, "vision")
 
     def _encode(self, feats: np.ndarray, active: np.ndarray) -> None:

@@ -19,7 +19,7 @@ import numpy as np
 
 from stc_tpu.config import SessionConfig
 from stc_tpu.models import qwen2 as qw
-from stc_tpu.runtime.session import StreamingSession
+from stc_tpu.runtime.session import StreamingSession, _stop_arr
 
 
 class Preprocessor:
@@ -227,9 +227,43 @@ class VLMSession(StreamingSession):
                                                      pstate, active)
             return kvs, new_v, new_p
 
+        def _serve_pixels(params, pixels, kvs, vstate, pstate, active,
+                          q_ids, q_len, p_ids, p_len, stop_ids,
+                          need_full=None, hist_ids=None, hist_len=None, *,
+                          cached, mixed, bucket, ragged, max_new_tokens):
+            """Fused PIXEL serving tick: vision tower (+cacher/pruner) +
+            ragged KV append + per-stream retrieval QA + greedy decode in
+            ONE dispatch — the pixel-path counterpart of
+            StreamingSession.serve (the reference runs vision, encode, and
+            QA as separate loops per process, abstract_rekv.py:38-87)."""
+            px = vision.device_preprocess(pixels)
+            if mixed:
+                flat_f, v_f, p_f = vision.full(params, px, vstate, pstate)
+                flat_c, v_c, p_c = vision.cached(params, px, vstate, pstate)
+                B = need_full.shape[0]
+                flat = jnp.where(need_full.reshape(B, 1, 1), flat_f, flat_c)
+                new_v, new_p = vision.select_streams(v_f, p_f, v_c, p_c,
+                                                     need_full)
+            else:
+                path = vision.cached if cached else vision.full
+                flat, new_v, new_p = path(params, px, vstate, pstate)
+            if ragged:
+                new_v, new_p = vision.select_streams(new_v, new_p, vstate,
+                                                     pstate, active)
+            backend = (self.attn_backend if bucket >= self._W else
+                       ("jnp" if self.attn_backend == "pallas"
+                        else self.attn_backend))
+            kvs, tokens, count = qw.serve_step(
+                params["text"], text_cfg, rekv, kvs, flat, active,
+                q_ids, q_len, p_ids, p_len, stop_ids, max_new_tokens,
+                attn_backend=backend, win_pages=bucket,
+                hist_ids=hist_ids, hist_len=hist_len)
+            return kvs, new_v, new_p, tokens, count
+
         self._frame_fn = _frame
         self._frame_ragged_fn = _frame_ragged
         self._frame_mixed_fn = _frame_mixed
+        self._serve_pixel_fn = _serve_pixels
         self._frame_jits = {}
         self._reset_vision()
 
@@ -241,6 +275,18 @@ class VLMSession(StreamingSession):
             fn = self._frame_ragged_fn if ragged else self._frame_fn
             self._frame_jits[key] = jax.jit(
                 functools.partial(fn, cached=cached, bucket=bucket),
+                donate_argnames=donate)
+        return self._frame_jits[key]
+
+    def _get_serve_jit(self, cached: bool, mixed: bool, bucket: int,
+                       ragged: bool, max_new_tokens: int):
+        key = ("serve", cached, mixed, bucket, ragged, max_new_tokens)
+        if key not in self._frame_jits:
+            donate = (("kvs",) if (cached or mixed) else ("kvs", "vstate"))
+            self._frame_jits[key] = jax.jit(
+                functools.partial(self._serve_pixel_fn, cached=cached,
+                                  mixed=mixed, bucket=bucket, ragged=ragged,
+                                  max_new_tokens=max_new_tokens),
                 donate_argnames=donate)
         return self._frame_jits[key]
 
@@ -319,6 +365,76 @@ class VLMSession(StreamingSession):
         assert pixels.shape[0] % self.batch == 0, (pixels.shape, self.batch)
         self._encode_chunk_pixels(pixels, pixels.shape[0] // self.batch,
                                   active)
+
+    def serve(self, frames, active, questions, prompts, stop_token_ids,
+              max_new_tokens: int = 128, asked=None):
+        """PHASE-HETEROGENEOUS serving tick on the PIXEL path: vision tower
+        (+cacher/pruner, per-slot schedules) + ragged encode of one frame
+        chunk into the `active` streams + per-stream retrieval QA — all in
+        ONE dispatch on the hot path (mean_dot scorer, nothing evicted, one
+        exc chunk).  The pixel-session counterpart of
+        StreamingSession.serve; the reference runs vision, encode, and QA
+        as separate sequential loops per process (abstract_rekv.py:38-87).
+
+        frames: (B, n, H, W, 3) uint8, or a jax.Array already staged via
+        stage_chunk (one chunk).  Other args as StreamingSession.serve.
+        Returns (tokens (B, M) np, count (B,) np).  Falls back to
+        encode_video + batched QA dispatches off the hot path."""
+        rc = self.rekv
+        S = rc.block_size
+        if isinstance(frames, jax.Array):
+            pixels = frames
+            n_frames = frames.shape[0] // self.batch
+        else:
+            frames = np.asarray(frames)
+            assert frames.ndim == 5 and frames.shape[0] == self.batch, (
+                "VLM serve wants (B, n, H, W, 3) frames", frames.shape)
+            n_frames = frames.shape[1]
+            pixels = None  # staged below only if the fused path is taken
+        fused = (n_frames * S <= rc.exc_block_size
+                 and rc.retrieval_scorer == "mean_dot"
+                 and self._evicted_pages == 0
+                 and self._total_blocks + n_frames <= rc.max_blocks)
+        self.last_serve_fused = fused
+        q_ids, q_len = self._pad_ids(questions)
+        p_ids, p_len = self._pad_ids(prompts)
+        if not fused:
+            self.encode_video(frames, active=active)
+            return self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
+                                max_new_tokens, hist_rows=asked)
+        if pixels is None:
+            pixels = self.vision.preprocess(frames)
+        act_dev, act_np = self._normalize_active(active)
+        self._maybe_evict(n_frames)  # rep-capacity fail-fast (never evicts)
+        bucket = self._bucket(self._total_blocks + n_frames
+                              - self._evicted_pages)
+        cached_mask = (self.scfg.cacher.enabled
+                       & (self._slot_chunk % self.scfg.cacher.cache_interval
+                          != 0))
+        ticking = cached_mask if act_np is None else cached_mask[act_np]
+        mixed = bool(ticking.size and ticking.any() and not ticking.all())
+        cached = bool(ticking.size and ticking.all()) and not mixed
+        ragged = act_dev is not None
+        fn = self._get_serve_jit(cached, mixed, bucket, ragged,
+                                 max_new_tokens)
+        mask = (jnp.ones((self.batch,), bool) if act_dev is None
+                else act_dev)
+        kw = dict(self._hist_kw())
+        if mixed:
+            kw["need_full"] = jnp.asarray(~cached_mask)
+        self.kvs, self._vstate, self._pstate, tokens, count = fn(
+            self._all_params, pixels, kvs=self.kvs, vstate=self._vstate,
+            pstate=self._pstate, active=mask,
+            q_ids=jnp.asarray(q_ids), q_len=jnp.asarray(q_len, jnp.int32),
+            p_ids=jnp.asarray(p_ids), p_len=jnp.asarray(p_len, jnp.int32),
+            stop_ids=jnp.asarray(_stop_arr(stop_token_ids)), **kw)
+        self._track_blocks(n_frames, active=act_np)
+        self._slot_chunk += 1 if act_np is None else act_np.astype(np.int64)
+        self.chunk_idx += 1
+        tokens, count = np.asarray(tokens), np.asarray(count)
+        self._hist_append(q_ids, q_len, p_ids, p_len, tokens, count,
+                          rows=asked)
+        return tokens, count
 
     def _encode_chunk_pixels(self, pixels, n_frames: int, active=None):
         act_dev, act_np = self._normalize_active(active)

@@ -204,3 +204,59 @@ def test_serving_engine_vlm_pixels():
     assert res[rid]["slot"] == 1 and len(res[rid]["tokens"]) >= 1
     nb = np.asarray(sess.kvs.num_blocks)[0]
     assert nb.tolist() == [3, 1]
+
+
+def test_fused_vlm_pixel_serve_matches_sequential_dispatches():
+    """VLMSession.serve (vision tower + cacher/pruner + ragged encode +
+    batched QA in ONE dispatch) equals encode_video + batched QA, on
+    answers AND every KV/vision/pruner state leaf — across full, cached,
+    and MIXED per-slot cacher ticks and ragged active masks."""
+    from stc_tpu.config import CacherConfig, PrunerConfig
+    from stc_tpu.models import llava_onevision as lo
+    cfg = lo.LlavaOVConfig.tiny()
+    tpf = 3
+
+    def make():
+        scfg = SessionConfig(
+            rekv=ReKVConfig(n_init=4, n_local=128, block_size=tpf,
+                            exc_block_size=tpf, topk=4, max_blocks=64,
+                            max_prompt_tokens=16, max_new_tokens=8),
+            cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                                cache_interval=2),
+            pruner=PrunerConfig(strategy="stc", token_per_frame=tpf),
+        )
+        params = lo.init_random_params(cfg, jax.random.key(12))
+        s = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32,
+                             batch=2)
+        s.encode_init_prompt([1, 2, 3, 4])
+        return s
+
+    sa, sb = make(), make()
+    rng = np.random.default_rng(8)
+    warm = rng.uniform(0, 255, size=(2, 1, 56, 56, 3)).astype(np.uint8)
+    sa.encode_video(warm)
+    sb.encode_video(warm)
+    qs = [[5, 6, 7], [9, 10]]
+    ps = [[5, 6, 7, 8], [9, 10, 11]]
+    # slot_chunk starts [1,1]: tick0 both-cached, tick1 ragged-full (only
+    # slot 0 ticks), tick2 MIXED (slot 0 cached, slot 1 full)
+    pattern = [[True, True], [True, False], [True, True]]
+    for active in pattern:
+        chunk = rng.uniform(0, 255, size=(2, 1, 56, 56, 3)).astype(np.uint8)
+        tok_a, cnt_a = sa.serve(chunk, active, qs, ps, STOP,
+                                max_new_tokens=4, asked=[True, True])
+        assert sa.last_serve_fused
+        sb.encode_video(chunk, active=active)
+        got_b = sb.question_answering_batch(qs, ps, STOP, max_new_tokens=4)
+        for b in range(2):
+            assert [int(t) for t in tok_a[b, :cnt_a[b]]] == got_b[b], \
+                (active, b)
+    assert sa._slot_chunk.tolist() == sb._slot_chunk.tolist()
+    for name in sa.kvs._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(sa.kvs, name)),
+                                      np.asarray(getattr(sb.kvs, name)),
+                                      err_msg=name)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), sa._vstate, sb._vstate)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), sa._pstate, sb._pstate)
