@@ -486,6 +486,12 @@ def main():
     elif mode in ("qa_spec", "qa_7b_spec"):
         seven = mode == "qa_7b_spec"
         spec_ms = bench_qa(seven_b=seven, spec=4, max_new=32)
+        # two full sessions live in one process at 7B scale (~11 GB each of
+        # a 16 GB chip): drop the first session's executables + buffers
+        # before the plain-greedy baseline builds, or its init OOMs
+        import gc
+        gc.collect()
+        jax.clear_caches()
         plain_ms = bench_qa(seven_b=seven, spec=0, max_new=32)
         shapes = "llava-ov-7b int8 weights" if seven else "llava-ov-0.5b"
         print(json.dumps({
