@@ -318,22 +318,23 @@ def bench_qa(seven_b=False, spec=0, max_new=16):
     return lat[len(lat) // 2]
 
 
-def bench_qa_host(warm=False, quant="none"):
+def bench_qa_host(warm=False, quant="default"):
     """QA latency when retrieval hits HOST-evicted pages (two-tier store,
     speculative-prefetch path).  Cold: the prefetch table is cleared between
     repeats, so every repeat pays the new-question cost — a miss round (one
     dispatch), the host fetches, one bulk delta transfer to the device table,
     and the served round(s).  Warm: the table persists (repeat/related
     questions), so each QA is a single dispatch with zero host->device
-    traffic.  The cold-warm gap is pure transfer: ~47 MB of pages at this
-    relay's ~50 MB/s; on a real v5e host PCIe this is ~5 ms.  quant='int8'
-    benchmarks the compressed host tier (ReKVConfig.host_kv_quant): pages
-    cross the link as int8+scales, halving the cold-path transfer."""
+    traffic.  The cold-warm gap is pure transfer; on a real v5e host PCIe
+    the cold path is ~5 ms.  quant='default' measures the DEFAULT config
+    (host_kv_quant='int8': pages cross the link as int8+scales, half the
+    cold-path transfer; error bounded by test_host_tier.py); 'exact'
+    measures the opt-in bit-exact tier (host_kv_quant='none')."""
     kvq = {"kv_int8": "int8", "kv_int4": "int4"}.get(quant, "none")
     sess, cfg = build(kv_quant=kvq)
-    if quant == "int8":
+    if quant == "exact":
         import dataclasses
-        sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant=quant)
+        sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant="none")
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
     rng = np.random.default_rng(0)
@@ -349,7 +350,7 @@ def bench_qa_host(warm=False, quant="none"):
         # device pages are already int8/packed-int4 + scales (kv_quant store)
         sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
                                np.asarray(ev_ks), np.asarray(ev_vs))
-    elif quant == "int8":
+    elif sess.rekv.host_kv_quant == "int8":  # the default tier
         kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
         sess.host_store.append(np.asarray(kq), np.asarray(vq),
                                np.asarray(ks), np.asarray(vs))
@@ -562,22 +563,16 @@ def main():
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
         }))
-    elif mode == "qa_host_int8":
-        ms = bench_qa_host(quant="int8")
-        print(json.dumps({
-            "metric": "QA latency p50 with host-tier hits, INT8-compressed "
-                      "host tier (pages cross the link as int8+scales, cold "
-                      "prefetch table), llava-ov-0.5b shapes",
-            "value": round(ms, 1),
-            "unit": "ms",
-            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
     elif mode == "qa_host":
         ms = bench_qa_host()
         print(json.dumps({
             "metric": "QA latency p50 with host-tier hits (top-64 retrieval "
                       "entirely from host RAM, cold prefetch table, + 40-token "
-                      "prefill + 16-token decode, llava-ov-0.5b shapes)",
+                      "prefill + 16-token decode, llava-ov-0.5b shapes; "
+                      "DEFAULT config — host_kv_quant='int8' host tier, "
+                      "error bound in test_host_tier.py; the opt-in "
+                      "bit-exact 'none' tier costs ~1.7x more cold-path "
+                      "transfer)",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec

@@ -22,7 +22,7 @@ TRANSFER_BOUND_NOTE = (
     "transfer-dominated on this relay host: +-30% session variance at equal "
     "probed MB/s (see PLATFORM_NOTES.md); compute-bound modes are stable")
 TRANSFER_BOUND = {"ingest", "ingest_kvq", "ingest_kvq4", "multistream",
-                  "multistream_staged", "serving", "qa_host", "qa_host_int8",
+                  "multistream_staged", "serving", "qa_host",
                   "qa_host_kvq", "qa_host_kvq4"}
 
 MODES = [
@@ -32,7 +32,6 @@ MODES = [
     ("qa", {}),
     ("qa_spec", {}),
     ("qa_host", {}),
-    ("qa_host_int8", {}),
     ("qa_host_kvq", {}),
     ("qa_host_kvq4", {}),
     ("qa_host_warm", {}),

@@ -84,12 +84,15 @@ class ReKVConfig:
     # error (~0.4% int8, ~7% int4 worst-case per value).
     # The reference has no device-side equivalent (its pages are fp16).
     kv_quant: str = "none"
-    # host-tier page compression: 'none' (default; host round trips are
-    # bit-exact, the two-tier QA guarantee) | 'int8' (pages cross the
+    # host-tier page compression: 'int8' (default; pages cross the
     # host<->device link and sit in host RAM as int8 with per-page/dim
-    # scales — half the bytes, ~0.5% KV error on refetch; the reference has
-    # no equivalent, its CPU offload is always fp16)
-    host_kv_quant: str = "none"
+    # scales — half the bytes, ~0.4% worst-case KV error on refetched pages
+    # only, bounded by tests/test_host_tier.py; cold host-hit QA ~1.7x
+    # faster on a ~40 MB/s link) | 'none' (bit-exact host round trips — the
+    # reference-faithful tier; its CPU offload is always fp16-exact).
+    # Retrieval SCORING is identical either way (rep keys never leave the
+    # device); only attention over refetched evicted pages sees the error.
+    host_kv_quant: str = "int8"
     # Prompt-lookup speculative decoding for the QA decode loop (beyond
     # reference — its decode is a per-token python loop).  Each while_loop
     # round drafts spec_decode_draft tokens by matching the last
@@ -282,7 +285,7 @@ class SessionConfig:
                 "STC_WINDOW_KV_COMPRESSION", "none"),
             decode_attn_backend=os.getenv("STC_DECODE_ATTN_BACKEND", "jnp"),
             kv_quant=os.getenv("STC_KV_QUANT", "none"),
-            host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "none"),
+            host_kv_quant=os.getenv("STC_HOST_KV_QUANT", "int8"),
             spec_decode_draft=int(os.getenv("STC_SPEC_DECODE_DRAFT", "0")),
             spec_decode_ngram=int(os.getenv("STC_SPEC_DECODE_NGRAM", "3")),
             spec_history_tokens=int(os.getenv("STC_SPEC_HISTORY", "0")),

@@ -902,15 +902,22 @@ def decode_attend(q: jax.Array, q_slots: jax.Array, dkv: DecodeKV,
     decode all append contiguously); the pallas backend relies on it and
     reads only q_slots[:, 0], so a non-affine call would be silently wrong
     under 'pallas' while the jnp branch would honor it.
-    Mirrors the QA sliding-window path (rekv_attention.py:388-426);
-    the complement-window init stage is empty whenever the cache never exceeds
-    n_local, which holds for every supported config (decode_cap <= n_local is
-    asserted at session build time).
+
+    Mirrors the QA sliding-window path (rekv_attention.py:364-426) INCLUDING
+    the len_k > n_local branch: when the decode cache can outgrow the local
+    window (decode_cap > n_local — large topk, small n_local, or long
+    decodes), queries whose window has slid past the init tokens still
+    attend them through the complement-window init stage (dist >= n_local,
+    one-angle queries on the UNROTATED init keys — reference
+    rekv_attention.py:401-426).  The stage is compiled in only when
+    decode_cap > n_local (static), so standard configs pay nothing; it
+    forces the jnp backend (the flash decode kernel has no init stage).
     """
     B, Hq, T, D = q.shape
     C = dkv.k.shape[2]
     q_rot = apply_rope(q, q_slots[:, None, :], rope_base)
-    if cfg.decode_attn_backend.startswith("pallas"):
+    init_stage = cfg.decode_cap > cfg.n_local
+    if cfg.decode_attn_backend.startswith("pallas") and not init_stage:
         # fused flash kernel; query slots are affine (start + t) at every
         # call site (prompt prefill, retrieval forward, token decode)
         from stc_tpu.ops.decode_attention import decode_attention
@@ -922,5 +929,21 @@ def decode_attend(q: jax.Array, q_slots: jax.Array, dkv: DecodeKV,
     dist = q_slots[:, :, None] - slot_pos[:, None, :]                # (B, T, C)
     mask = (dist >= 0) & (dist < cfg.n_local)
     mask = mask & (slot_pos < dkv.cursor[:, None])[:, None, :]       # valid slots
-    mask = mask[:, None, :, :]
-    return multi_stage_attention(q_rot, [AttnStage(dkv.k, dkv.v, mask)])
+    stages = [AttnStage(dkv.k, dkv.v, mask[:, None, :, :])]
+    if init_stage:
+        nI = cfg.n_init
+        init_pos = jnp.arange(nI, dtype=jnp.int32)
+        # decode_write stored the init keys rotated at slots 0..n_init-1;
+        # the init stage scores them UNROTATED (reference init_h_k = raw
+        # h_k[:, :, :n_init]) — recover by exact inverse rotation
+        cos_i, sin_i = rope_cos_sin(init_pos, D, rope_base)
+        k_init = _rot(dkv.k[:, :, :nI], cos_i, -sin_i)
+        one = jnp.asarray(cfg.n_local - 1, jnp.int32)
+        cos1, sin1 = rope_cos_sin(one, D, rope_base)
+        q_one = _rot(q, cos1, sin1)
+        d_init = q_slots[:, :, None] - init_pos[None, None, :]       # (B,T,nI)
+        m2 = (d_init >= cfg.n_local) \
+            & (init_pos[None, None, :] < dkv.cursor[:, None, None])
+        stages.append(AttnStage(k_init, dkv.v[:, :, :nI],
+                                m2[:, None, :, :], q=q_one))
+    return multi_stage_attention(q_rot, stages)

@@ -306,24 +306,13 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 # Question answering: retrieval forward + prompt prefill + decode
 # ---------------------------------------------------------------------------
 
-def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
-                     kvs: StreamKV, dkvs: DecodeKV, embeds: jax.Array,
-                     n_tokens: jax.Array | None = None,
-                     retrieved_indices: jax.Array | None = None) -> DecodeKV:
-    """Question forward with per-layer retrieval; installs the retrieved
-    prefix into the decode cache.
-
-    The question's own KV participate in this forward's attention but are NOT
-    kept in the cache, matching the reference's updata_kv_cache=False path
-    (rekv_attention.py:363-386).  n_tokens: optional (B,) true question
-    lengths when `embeds` is right-padded.
-    """
-    B, T, E = embeds.shape
-    q_valid = None
-    if n_tokens is not None:
-        n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
-        q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
-
+def qa_retrieve_layer_body(cfg: Qwen2Config, rekv: ReKVConfig,
+                           q_valid: jax.Array | None,
+                           retrieved_indices: jax.Array | None, T: int):
+    """The per-layer scan body of the retrieval forward — shared by
+    qa_retrieve_step and the pipeline-parallel QA (parallel/pipeline.py),
+    which runs it over each stage's LOCAL layer slice.
+    (h, (layer_params, kv_l, dkv_l)) -> (h, dkv_l)."""
     def body(h, xs):
         lp, kv, dkv = xs
         hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
@@ -346,6 +335,28 @@ def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         h = h + _mlp(lp, hn, cfg)
         return h, dkv
 
+    return body
+
+
+def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                     kvs: StreamKV, dkvs: DecodeKV, embeds: jax.Array,
+                     n_tokens: jax.Array | None = None,
+                     retrieved_indices: jax.Array | None = None) -> DecodeKV:
+    """Question forward with per-layer retrieval; installs the retrieved
+    prefix into the decode cache.
+
+    The question's own KV participate in this forward's attention but are NOT
+    kept in the cache, matching the reference's updata_kv_cache=False path
+    (rekv_attention.py:363-386).  n_tokens: optional (B,) true question
+    lengths when `embeds` is right-padded.
+    """
+    B, T, E = embeds.shape
+    q_valid = None
+    if n_tokens is not None:
+        n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
+        q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
+
+    body = qa_retrieve_layer_body(cfg, rekv, q_valid, retrieved_indices, T)
     _, dkvs = jax.lax.scan(body, embeds, (params["layers"], kvs, dkvs))
     return dkvs
 
@@ -445,17 +456,11 @@ def answer_question_hosttier(params, cfg: Qwen2Config, rekv: ReKVConfig,
     return tokens, count, abs_idx, exists, missing
 
 
-def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
-                dkvs: DecodeKV, embeds: jax.Array, n_tokens: jax.Array
-                ) -> Tuple[jax.Array, DecodeKV]:
-    """Prompt prefill (T tokens, n_tokens (B,) valid) or 1-token decode.
-
-    Returns (logits (B, T, V), new decode cache).  Sliding-window attention
-    over the decode cache, reference rekv_attention.py:369-426.
-    """
-    B, T, E = embeds.shape
-    n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
-
+def decode_layer_body(cfg: Qwen2Config, rekv: ReKVConfig,
+                      n_tokens: jax.Array, T: int):
+    """The per-layer scan body of prompt prefill / token decode — shared by
+    decode_step and the pipeline-parallel QA (parallel/pipeline.py).
+    (h, (layer_params, dkv_l)) -> (h, dkv_l)."""
     def body(h, xs):
         lp, dkv = xs
         hn = rms_norm(h, lp["ln1"], cfg.rms_eps)
@@ -469,6 +474,21 @@ def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         h = h + _mlp(lp, hn, cfg)
         return h, dkv
 
+    return body
+
+
+def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
+                dkvs: DecodeKV, embeds: jax.Array, n_tokens: jax.Array
+                ) -> Tuple[jax.Array, DecodeKV]:
+    """Prompt prefill (T tokens, n_tokens (B,) valid) or 1-token decode.
+
+    Returns (logits (B, T, V), new decode cache).  Sliding-window attention
+    over the decode cache, reference rekv_attention.py:369-426.
+    """
+    B, T, E = embeds.shape
+    n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
+
+    body = decode_layer_body(cfg, rekv, n_tokens, T)
     h, dkvs = jax.lax.scan(body, embeds, (params["layers"], dkvs))
     h = rms_norm(h, params["norm_f"], cfg.rms_eps)
     logits = _lm_head(params, h)

@@ -32,11 +32,16 @@ class AttnStage(NamedTuple):
 
     k, v  : (B, Hkv, Lk, D)
     mask  : bool, broadcastable to (B, 1, Lq, Lk); True = may attend.
+    q     : optional (B, Hq, Lq, D) per-stage query override — the
+            reference's init stage scores with ONE-ANGLE-rotated queries
+            while the local stage uses window-rotated ones
+            (rekv_attention.py:388-426); both feed one joint softmax.
     """
 
     k: jax.Array
     v: jax.Array
     mask: jax.Array
+    q: Optional[jax.Array] = None
 
 
 def sliding_window_mask(q_pos: jax.Array, k_pos: jax.Array, window: int,
@@ -78,7 +83,8 @@ def multi_stage_attention(
         Hkv = st.k.shape[1]
         assert Hq % Hkv == 0, (Hq, Hkv)
         G = Hq // Hkv
-        qg = q.reshape(B, Hkv, G, Lq, D)
+        q_st = q if st.q is None else st.q
+        qg = q_st.reshape(B, Hkv, G, Lq, D)
         lg = jnp.einsum(
             "bhgqd,bhkd->bhgqk", qg.astype(jnp.float32),
             st.k.astype(jnp.float32),

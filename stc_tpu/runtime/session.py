@@ -72,14 +72,20 @@ class StreamingSession:
         self.state_dtype = state_dtype
         self.frame_encoder = frame_encoder
 
-        assert self.rekv.decode_cap <= self.rekv.n_local, (
-            "QA attention assumes the decode cache never outgrows the local "
-            "window — decode_attend has no complement-window init stage, so "
-            "tokens past n_local would silently drop out of attention "
-            "(reference rekv_attention.py len_k > n_local branch). True for "
-            "all reference configs; got "
-            f"decode_cap={self.rekv.decode_cap} n_local={self.rekv.n_local}; "
-            "raise n_local or lower topk/max_prompt_tokens/max_new_tokens")
+        # decode_cap > n_local (large topk / small n_local / long decodes)
+        # engages decode_attend's complement-window init stage — the
+        # reference's len_k > n_local QA branch (rekv_attention.py:401-426);
+        # standard configs (decode_cap <= n_local) compile without it.
+        # The retrieved buffer itself must still fit the window + init
+        # (retrieved blocks the window has slid past are invisible to every
+        # query) — the reference asserts the same bound on its global
+        # buffer (kv_cache_manager.py:895).
+        assert self.rekv.retrieve_len <= self.rekv.n_init + self.rekv.n_local, (
+            f"retrieve_len={self.rekv.retrieve_len} exceeds n_init + n_local "
+            f"= {self.rekv.n_init + self.rekv.n_local}: retrieved blocks "
+            "beyond the local window can never be attended (the reference "
+            "asserts the same bound, kv_cache_manager.py:895). Lower topk "
+            "or raise n_local.")
 
         mc, rc = model_cfg, self.rekv
         self.attn_backend = _resolve_backend(

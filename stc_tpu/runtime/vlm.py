@@ -280,6 +280,12 @@ class VLMSession(StreamingSession):
 
     def _get_serve_jit(self, cached: bool, mixed: bool, bucket: int,
                        ragged: bool, max_new_tokens: int):
+        # max_new_tokens is part of the jit-cache key: each DISTINCT value
+        # compiles its own fused vision+LM program (same recompile behavior
+        # as a static_argname, made explicit here).  serve() therefore
+        # expects one fixed max_new_tokens per session — the ServingEngine
+        # holds it as an engine-level constant; per-request values would
+        # compile-thrash.
         key = ("serve", cached, mixed, bucket, ragged, max_new_tokens)
         if key not in self._frame_jits:
             donate = (("kvs",) if (cached or mixed) else ("kvs", "vstate"))

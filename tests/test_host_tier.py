@@ -12,10 +12,15 @@ from stc_tpu.runtime.session import StreamingSession
 
 def make_sess(max_blocks, seed=0, chunk_size=1, max_rep_blocks=256, batch=1):
     mcfg = qw.Qwen2Config.tiny()
+    # host_kv_quant='none' pins the BIT-EXACT host tier: this suite asserts
+    # exact parity with an un-evicted all-device session.  The session
+    # default is 'int8' (fast tier, ~0.4% bounded error on refetched pages —
+    # test_int8_host_tier_halves_bytes_and_bounds_error below).
     rekv = ReKVConfig(n_init=6, n_local=128, block_size=8, exc_block_size=8,
                       topk=4, chunk_size=chunk_size, max_blocks=max_blocks,
                       max_rep_blocks=max_rep_blocks,
-                      max_prompt_tokens=64, max_new_tokens=8)
+                      max_prompt_tokens=64, max_new_tokens=8,
+                      host_kv_quant="none")
     params = qw.init_params(mcfg, jax.random.key(seed))
     return StreamingSession(params, mcfg, SessionConfig(rekv=rekv),
                             batch=batch, state_dtype=jnp.float32), mcfg

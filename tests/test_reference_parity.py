@@ -176,9 +176,9 @@ def test_qa_attention_and_decode_match_reference():
     (:364-384) must match the engine's retrieve_blocks + decode_write +
     decode_attend to float32 tolerance.  Identity/injected projections make
     the reference forward drivable on raw QKV tensors (no layer weights).
-    Covers the len_k <= n_local regime — the only one reachable under the
-    session's decode_cap <= n_local invariant (every reference config keeps
-    QA caches far below n_local too)."""
+    Covers the len_k <= n_local regime (every reference config keeps QA
+    caches far below n_local); the len_k > n_local branch is oracle-tested
+    in test_qa_long_kv_branch_matches_reference below."""
     import jax.numpy as jnp
     from reference_driver import load_reference_attention
     from stc_tpu.kvcache.engine import (decode_attend, decode_write,
@@ -248,3 +248,135 @@ def test_qa_attention_and_decode_match_reference():
         cur += Tn
         np.testing.assert_allclose(np.asarray(o_eng), o_ref, rtol=2e-4,
                                    atol=2e-4, err_msg=f"decode step {step}")
+
+
+def test_qa_long_kv_branch_matches_reference():
+    """The len_k > n_local QA branch: when [retrieved | question | decode]
+    outgrows the local window, the reference runs a SECOND attention stage —
+    one-angle queries over the unrotated init keys with the complement
+    window mask (rekv_attention.py:401-426, torch_impl complement
+    dist >= n_local).  decode_attend compiles that stage in whenever
+    decode_cap > n_local; this drives the reference's own forward on a
+    small-n_local config deep into the branch (retrieval forward AND the
+    decode continuation) and asserts output parity."""
+    import jax.numpy as jnp
+    from reference_driver import (load_reference, load_reference_attention,
+                                  make_context_manager)
+    from stc_tpu.kvcache.engine import (decode_attend, decode_write,
+                                        init_decode_kv, retrieve_blocks)
+    from stc_tpu.kvcache.state import DecodeKV
+
+    ra, kvm, rope_mod = load_reference_attention()
+    # retrieve_len = 4 + 4*8 = 36 <= n_init + n_local (the reference asserts
+    # this bound, kv_cache_manager.py:895) but question + decode push len_k
+    # past n_local = 40 from the first retrieval forward onward
+    cfg = ReKVConfig(n_init=4, n_local=40, block_size=8, exc_block_size=8,
+                     topk=4, chunk_size=1, max_blocks=64,
+                     max_prompt_tokens=16, max_new_tokens=8)
+    assert cfg.decode_cap > cfg.n_local  # the branch under test
+    cm = make_context_manager(kvm, rope_mod, dim_head=D, n_init=cfg.n_init,
+                              n_local=cfg.n_local, block_size=cfg.block_size,
+                              topk=cfg.topk, chunk_size=cfg.chunk_size,
+                              exc_block_size=cfg.exc_block_size)
+    kv = init_stream_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+
+    q = _rand(rng, 1, HQ, cfg.n_init, D)
+    k = _rand(rng, 1, HKV, cfg.n_init, D)
+    v = _rand(rng, 1, HKV, cfg.n_init, D)
+    cm.append(*map(torch.from_numpy, (q, k, v)),
+              *map(torch.from_numpy, (q, k, v)))
+    _, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          cfg, is_init=True)
+    for _ in range(12):
+        q = _rand(rng, 1, HQ, 8, D)
+        k = _rand(rng, 1, HKV, 8, D)
+        v = _rand(rng, 1, HKV, 8, D)
+        o_ref = cm.append(*map(torch.from_numpy, (q, k, v)),
+                          *map(torch.from_numpy, (q, k, v)))
+        o_eng, kv = append_stream(kv, jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), cfg, is_init=False)
+        np.testing.assert_allclose(np.asarray(o_eng), o_ref.numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+    fwd = ra.rekv_attention_forward(
+        n_local=cfg.n_local, n_init=cfg.n_init, topk=cfg.topk,
+        chunk_size=cfg.chunk_size, block_size=cfg.block_size,
+        max_cached_block=256, exc_block_size=cfg.exc_block_size,
+        fattn=False, async_global_stream=False, pin_memory=False)
+    rope = cm.position_embedding
+
+    def ref_step(pkv, q4, k4, v4):
+        Tq = q4.shape[2]
+        q_flat = torch.from_numpy(
+            q4.transpose(0, 2, 1, 3).reshape(1, Tq, HQ * D))
+        k_flat = torch.from_numpy(
+            k4.transpose(0, 2, 1, 3).reshape(1, Tq, HKV * D))
+        v_flat = torch.from_numpy(
+            v4.transpose(0, 2, 1, 3).reshape(1, Tq, HKV * D))
+        out, new_pkv = fwd(
+            None, q_flat, k_flat, rope, True, pkv,
+            project_q=lambda x: x, project_k=lambda x: k_flat,
+            project_v=lambda x: v_flat, attention_out=lambda x: x,
+            dim_head=D, num_heads=HQ, num_heads_kv=HKV)
+        o = out.detach().numpy().reshape(1, Tq, HQ, D).transpose(0, 2, 1, 3)
+        return o, new_pkv
+
+    # retrieval forward: len_k = 36 + 5 = 41 > n_local = 24 -> init stage ON
+    Tq = 5
+    q4 = _rand(rng, 1, HQ, Tq, D)
+    k4 = _rand(rng, 1, HKV, Tq, D)
+    v4 = _rand(rng, 1, HKV, Tq, D)
+    cm.set_retrieval()
+    o_ref, pkv = ref_step(cm, q4, k4, v4)
+
+    ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q4), cfg)
+    assert int(np.asarray(valid_len)[0]) + Tq > cfg.n_local  # deep in branch
+    dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv_q = decode_write(dkv, jnp.asarray(k4), jnp.asarray(v4), Tq)
+    q_slots = valid_len[:, None] + np.arange(Tq, dtype=np.int32)[None, :]
+    o_eng = decode_attend(jnp.asarray(q4), jnp.asarray(q_slots), dkv_q, cfg)
+    np.testing.assert_allclose(np.asarray(o_eng), o_ref, rtol=2e-4, atol=2e-4)
+
+    # decode continuation: every step's window has slid past the init tokens
+    dkv = DecodeKV(k=dkv_q.k, v=dkv_q.v, cursor=valid_len)
+    cur = int(np.asarray(valid_len)[0])
+    for step, Tn in enumerate((3, 1, 1, 1)):
+        qn = _rand(rng, 1, HQ, Tn, D)
+        kn = _rand(rng, 1, HKV, Tn, D)
+        vn = _rand(rng, 1, HKV, Tn, D)
+        o_ref, pkv = ref_step(pkv, qn, kn, vn)
+        dkv = decode_write(dkv, jnp.asarray(kn), jnp.asarray(vn), Tn)
+        slots = np.arange(cur, cur + Tn, dtype=np.int32)[None, :]
+        o_eng = decode_attend(jnp.asarray(qn), jnp.asarray(slots), dkv, cfg)
+        cur += Tn
+        np.testing.assert_allclose(np.asarray(o_eng), o_ref, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"decode step {step}")
+
+
+def test_session_qa_runs_past_n_local():
+    """Session-level smoke for the long-KV branch: a config whose decode
+    cache outgrows n_local (previously asserted away at session build) now
+    builds and answers end to end through the fused one-dispatch QA path."""
+    import jax
+    from stc_tpu.config import SessionConfig
+    from stc_tpu.models import qwen2 as qw
+    from stc_tpu.runtime.session import StreamingSession
+
+    mcfg = qw.Qwen2Config.tiny()
+    rekv = ReKVConfig(n_init=6, n_local=56, block_size=8, exc_block_size=8,
+                      topk=6, chunk_size=1, max_blocks=64,
+                      max_prompt_tokens=16, max_new_tokens=8,
+                      host_kv_quant="none")
+    assert rekv.decode_cap > rekv.n_local
+    params = qw.init_params(mcfg, jax.random.key(0))
+    sess = StreamingSession(params, mcfg, SessionConfig(rekv=rekv),
+                            state_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    sess.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 10 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    ans = sess.question_answering([7, 8, 9], [1, 2, 3, 4], [0],
+                                  max_new_tokens=6)
+    assert len(ans) == 6
