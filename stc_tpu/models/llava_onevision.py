@@ -243,18 +243,21 @@ class LlavaOVVision(VisionPipeline):
 class LlavaOVSession(VLMSession):
     def __init__(self, params: Dict[str, Any], cfg: LlavaOVConfig,
                  scfg: SessionConfig, state_dtype=jnp.bfloat16,
-                 vision_dtype=jnp.float32, batch: int = 1):
+                 vision_dtype=jnp.float32, batch: int = 1, mesh=None):
         self.ovcfg = cfg
         super().__init__(params, cfg.text, scfg,
                          LlavaOVVision(cfg, scfg, vision_dtype, batch=batch),
-                         state_dtype=state_dtype, batch=batch)
+                         state_dtype=state_dtype, batch=batch, mesh=mesh)
 
 
 def build_session(params: Dict[str, Any], cfg: LlavaOVConfig,
                   scfg: SessionConfig, state_dtype=jnp.bfloat16,
-                  vision_dtype=jnp.float32, batch: int = 1) -> StreamingSession:
+                  vision_dtype=jnp.float32, batch: int = 1,
+                  mesh=None) -> StreamingSession:
+    """mesh: optional Mesh with a 'pp' axis — pipeline-parallel LM (weights,
+    KV pages, and QA decode cache shard by layer; see runtime/session.py)."""
     return LlavaOVSession(params, cfg, scfg, state_dtype=state_dtype,
-                          vision_dtype=vision_dtype, batch=batch)
+                          vision_dtype=vision_dtype, batch=batch, mesh=mesh)
 
 
 def init_random_params(cfg: LlavaOVConfig, key, dtype=jnp.float32):

@@ -60,7 +60,16 @@ class StreamingSession:
         batch: int = 1,
         state_dtype=jnp.bfloat16,
         frame_encoder: Optional[Callable] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh.  A mesh with a 'pp' axis turns
+        on PIPELINE PARALLELISM over the LM's stacked layer axis: weights,
+        stream KV pages, and the QA decode cache all shard by layer across
+        the 'pp' devices (per-chip HBM divides by pp — a bf16 7B needs >1
+        v5e chip), encode appends run the GPipe token-microbatch schedule,
+        and QA runs the stage-relay pipeline (parallel/pipeline.py), answers
+        numerically equal to the sequential session (tests/test_pp.py).
+        Other mesh axes (dp/tp) stay GSPMD-automatic and compose."""
         self.params = qw.fuse_params(params)
         if session_cfg.weights_quant != "none":
             self.params = qw.quantize_params_int8(
@@ -71,6 +80,9 @@ class StreamingSession:
         self.batch = batch
         self.state_dtype = state_dtype
         self.frame_encoder = frame_encoder
+        self.mesh = mesh
+        self.pp = (int(mesh.shape["pp"])
+                   if mesh is not None and "pp" in mesh.shape else 1)
 
         # decode_cap > n_local (large topk / small n_local / long decodes)
         # engages decode_attend's complement-window init stage — the
@@ -152,6 +164,9 @@ class StreamingSession:
         # (layerwise paths only; the fused hot path keeps them on device)
         self.last_retrieved_indices = None
 
+        if self.pp > 1:
+            self._init_pp()
+
         from stc_tpu.kvcache.engine import n_window_pages
         self._window_pages = n_window_pages(rc)
         # host-tier eviction quantum: a quarter of the store, but never so
@@ -163,10 +178,81 @@ class StreamingSession:
         self.clear_cache()
 
     # ------------------------------------------------------------------ #
+    def _init_pp(self):
+        """Pipeline-parallel wiring: place params/state on the 'pp' mesh
+        axis and swap the three hot jits (init append, streaming append,
+        fused QA) for their stage-relay pipelines.  Fallback paths that are
+        not pp-wired fail fast with a clear message (host tier) or run via
+        GSPMD resharding (external-indices / layerwise QA — correct, not
+        pipelined)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from stc_tpu.parallel import pipeline as pl
+        mesh, mc, rc = self.mesh, self.mcfg, self.rekv
+        assert mc.num_layers % self.pp == 0, (mc.num_layers, self.pp)
+        assert rc.spec_decode_draft == 0, (
+            "speculative decode is not supported under pp (greedy only)")
+        # layer leaves shard P('pp') on the stacked axis 0 (composes with
+        # fused/quantized layouts); embed/norm/lm_head replicate (~2.2 GB
+        # bf16 at 7B — small next to the layer weights pp divides)
+        lspecs = pl.pp_layer_specs(self.params["layers"])
+        specs = {k: (lspecs if k == "layers"
+                     else jax.tree.map(lambda _: P(), v))
+                 for k, v in self.params.items()}
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            self.params, specs)
+
+        @functools.partial(jax.jit, donate_argnames=("kvs",))
+        def enc_init(params, kvs, embeds):
+            return pl.pp_encode_init(params["layers"], mc, rc, kvs, embeds,
+                                     mesh=mesh)
+
+        self._encode_init = enc_init
+        self._pp_enc_jits = {}
+
+        def enc_block(params, kvs, embeds, active=None):
+            # whole multi-chunk arrays pipeline as GPipe microbatches; a
+            # single exc chunk (the streaming tick) is one microbatch
+            T = embeds.shape[1]
+            exc = rc.exc_block_size
+            n_micro = T // exc if (T > exc and T % exc == 0) else 1
+            key = (n_micro, T, active is not None)
+            if key not in self._pp_enc_jits:
+                f = functools.partial(pl.pp_encode_step, cfg=mc, rekv=rc,
+                                      mesh=mesh, n_micro=n_micro,
+                                      attn_backend=self.attn_backend)
+                if active is None:
+                    def wrapped(params, kvs, embeds):
+                        return f(params["layers"], kvs=kvs, embeds=embeds)
+                else:
+                    def wrapped(params, kvs, embeds, active):
+                        return f(params["layers"], kvs=kvs, embeds=embeds,
+                                 active=active)
+                self._pp_enc_jits[key] = jax.jit(
+                    wrapped, donate_argnames=("kvs",))
+            kw = {} if active is None else {"active": active}
+            return self._pp_enc_jits[key](params, kvs=kvs, embeds=embeds,
+                                          **kw)
+
+        self._encode_block = enc_block
+        self._answer = jax.jit(functools.partial(
+            pl.pp_answer_question, cfg=mc, rekv=rc, mesh=mesh),
+            static_argnames=("max_new_tokens",))
+
+    def _place_kvs_pp(self, kvs):
+        from jax.sharding import NamedSharding
+        from stc_tpu.parallel.pipeline import pp_kv_specs
+        specs = pp_kv_specs()
+        return jax.tree.map(
+            lambda x, s: (jax.device_put(x, NamedSharding(self.mesh, s))
+                          if x.size else x), kvs, specs)
+
     def clear_cache(self):
         from stc_tpu.kvcache.host_tier import HostBlockStore
         self.kvs = qw.init_stream_state(self.mcfg, self.rekv, self.batch,
                                         self.state_dtype)
+        if self.pp > 1:
+            self.kvs = self._place_kvs_pp(self.kvs)
         self.host_store = HostBlockStore()
         self.hp_reset()
         self._total_blocks = 0
@@ -201,6 +287,13 @@ class StreamingSession:
         self._check_rep_capacity(incoming_blocks)
         rc = self.rekv
         from stc_tpu.kvcache.host_tier import evict_pages
+        if self.pp > 1 and (self._total_blocks - self._evicted_pages
+                            + incoming_blocks > rc.max_blocks):
+            raise RuntimeError(
+                "host-tier eviction is not supported under pipeline "
+                "parallelism: the two-tier QA paths are not pp-wired. "
+                "Raise max_blocks instead — the page store's per-chip HBM "
+                f"already divides by pp={self.pp}.")
         while (self._total_blocks - self._evicted_pages
                + incoming_blocks > rc.max_blocks):
             if self._ragged and np.ptp(self._stream_blocks) > 0:
@@ -304,6 +397,16 @@ class StreamingSession:
         assert T % S == 0, (T, S)
         act_dev, act_np = self._normalize_active(active)
         self._check_rep_capacity(T // S)
+        if self.pp > 1 and T > exc and T % exc == 0:
+            # pipeline parallelism: the whole array rides ONE dispatch as
+            # T/exc GPipe microbatches (bubble (pp-1)/(n_micro+pp-1)
+            # instead of (pp-1)/pp per exc chunk)
+            self._maybe_evict(T // S)
+            kw = {} if act_dev is None else {"active": act_dev}
+            _, self.kvs = self._encode_block(self.params, kvs=self.kvs,
+                                             embeds=feats, **kw)
+            self._track_blocks(T // S, active=act_np)
+            return
         # exc_block_size tokens per attention dispatch (multi-page appends);
         # the tail chunk compiles once at its own (block-multiple) shape
         for i in range(0, T, exc):
@@ -413,6 +516,8 @@ class StreamingSession:
         fused = (T <= rc.exc_block_size
                  and rc.retrieval_scorer == "mean_dot"
                  and self._evicted_pages == 0
+                 and self.pp == 1  # serve_step is not pp-wired; pp ticks
+                                   # run encode + QA pipelines separately
                  and self._total_blocks + n - self._evicted_pages
                  <= rc.max_blocks)
         self.last_serve_fused = fused  # observability (ServingEngine stats)
@@ -578,6 +683,13 @@ class StreamingSession:
             tokens, count = self._qa_hosttier(
                 q_ids, q_len, p_ids, p_len_j, stop_arr, max_new_tokens,
                 ext_idx)
+        elif ext_idx is not None and self.pp > 1:
+            # external retrieval under pp rides the same QA pipeline
+            tokens, count = self._answer(
+                self.params, kvs=self.kvs, q_ids=jnp.asarray(q_ids),
+                q_len=q_len, p_ids=jnp.asarray(p_ids), p_len=p_len_j,
+                stop_ids=jnp.asarray(stop_arr),
+                max_new_tokens=max_new_tokens, retrieved_indices=ext_idx)
         elif ext_idx is not None:
             dkvs = qw.init_decode_state(self.mcfg, rc, B, self.state_dtype)
             dkvs = self._qa_retrieve(

@@ -152,7 +152,7 @@ class VisionPipeline:
 class VLMSession(StreamingSession):
     def __init__(self, params: Dict[str, Any], text_cfg, scfg: SessionConfig,
                  vision: VisionPipeline, state_dtype=jnp.bfloat16,
-                 batch: int = 1):
+                 batch: int = 1, mesh=None):
         text = qw.fuse_params(params["text"])
         if scfg.weights_quant != "none":
             text = qw.quantize_params_int8(
@@ -161,7 +161,10 @@ class VLMSession(StreamingSession):
         self._all_params = params
         self.vision = vision
         super().__init__(params["text"], text_cfg, scfg, batch=batch,
-                         state_dtype=state_dtype)
+                         state_dtype=state_dtype, mesh=mesh)
+        # under pp, super() re-placed the LM params on the mesh — the fused
+        # vision+LM jits must read the SAME (placed) tree
+        self._all_params = {**self._all_params, "text": self.params}
         rekv = scfg.rekv
         from stc_tpu.kvcache.engine import n_window_pages
         self._W = n_window_pages(rekv)
@@ -172,13 +175,33 @@ class VLMSession(StreamingSession):
             multi-frame chunk is ONE append when exc_block_size covers it.
             Partial windows take the XLA path (cost scales with the bucket);
             the fused Pallas kernel wins only at full window on this
-            platform (~1.1 ms fixed cost per pallas_call)."""
+            platform (~1.1 ms fixed cost per pallas_call).
+            Under pp the append runs the GPipe stage pipeline instead (the
+            vision tower + projector stay replicated/GSPMD in the same
+            dispatch)."""
             S = rekv.block_size
             assert flat.shape[1] % S == 0, (flat.shape, S)
             backend = (self.attn_backend if bucket >= self._W else
                        ("jnp" if self.attn_backend == "pallas"
                         else self.attn_backend))
             exc = rekv.exc_block_size
+            if self.pp > 1:
+                from stc_tpu.parallel.pipeline import pp_encode_step
+                T = flat.shape[1]
+                n_micro = T // exc if (T > exc and T % exc == 0) else 1
+                if T % exc and T > exc:  # ragged tail: per-chunk pipeline
+                    for i in range(0, T, exc):
+                        _, kvs = pp_encode_step(
+                            params["text"]["layers"], text_cfg, rekv, kvs,
+                            flat[:, i:i + exc], mesh=self.mesh, n_micro=1,
+                            attn_backend=backend, win_pages=bucket,
+                            active=active)
+                    return kvs
+                _, kvs = pp_encode_step(
+                    params["text"]["layers"], text_cfg, rekv, kvs, flat,
+                    mesh=self.mesh, n_micro=n_micro, attn_backend=backend,
+                    win_pages=bucket, active=active)
+                return kvs
             for i in range(0, flat.shape[1], exc):
                 _, kvs = qw.encode_step(params["text"], text_cfg, rekv, kvs,
                                         flat[:, i:i + exc],
@@ -400,6 +423,7 @@ class VLMSession(StreamingSession):
         fused = (n_frames * S <= rc.exc_block_size
                  and rc.retrieval_scorer == "mean_dot"
                  and self._evicted_pages == 0
+                 and self.pp == 1  # serve_step is not pp-wired
                  and self._total_blocks + n_frames <= rc.max_blocks)
         self.last_serve_fused = fused
         q_ids, q_len = self._pad_ids(questions)
