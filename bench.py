@@ -57,7 +57,7 @@ STEADY_BLOCKS = int(os.getenv("BENCH_STEADY_BLOCKS", "400"))
 
 
 def build(batch=1, seven_b=False, kv_quant="none", chunk=None, spec=0,
-          spec_history=0):
+          spec_history=0, ingest="rgb"):
     chunk = CHUNK if chunk is None else chunk
     vision = sg.SiglipConfig(hidden_size=1152, num_layers=27, num_heads=16,
                              intermediate_size=4304, image_size=384,
@@ -92,11 +92,13 @@ def build(batch=1, seven_b=False, kv_quant="none", chunk=None, spec=0,
                             cache_interval=2),
         pruner=PrunerConfig(token_per_frame=60),
         encode_chunk_frames=chunk,
+        ingest_format=ingest,
     )
     if seven_b:
         scfg = SessionConfig(rekv=scfg.rekv, cacher=scfg.cacher,
                              pruner=scfg.pruner,
                              encode_chunk_frames=scfg.encode_chunk_frames,
+                             ingest_format=ingest,
                              weights_quant="int8")
         params = init_random_params_int8(cfg, jax.random.key(0))
     else:
@@ -192,12 +194,12 @@ def timed_passes(fn, sync, n_passes=5):
 
 
 def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False,
-                 chunk_frames=None):
+                 chunk_frames=None, ingest="rgb"):
     C = CHUNK if chunk_frames is None else chunk_frames
     n_frames = int(os.getenv("BENCH_FRAMES", "96"))
     rng = np.random.default_rng(0)
     sess, cfg = build(batch=batch, seven_b=seven_b, kv_quant=kv_quant,
-                      chunk=C)
+                      chunk=C, ingest=ingest)
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
 
@@ -261,12 +263,19 @@ def autotune_multistream(staged=False):
     if os.getenv("BENCH_CHUNK_FRAMES") is not None:
         return bench_ingest(batch=4, staged=staged), f"{CHUNK}-frame chunks"
     results = {}
-    for c in (2, 4):
-        results[c] = bench_ingest(batch=4, staged=staged, chunk_frames=c)
+    # candidates: chunk size x ingest format.  yuv420 ships packed 4:2:0
+    # planes at HALF the bytes/frame (production video is stored 4:2:0 —
+    # the decoder hands planes over for free; chroma upsample + BT.601
+    # matrix ride the fused vision jit ON DEVICE) — the decisive lever on
+    # transfer-bound links where raw uint8 RGB saturates the relay.
+    for c, fmt in ((2, "rgb"), (2, "yuv420"), (4, "yuv420")):
+        results[(c, fmt)] = bench_ingest(batch=4, staged=staged,
+                                         chunk_frames=c, ingest=fmt)
     best = max(results, key=results.get)
-    probed = ", ".join(f"C{c}={results[c]:.1f}" for c in sorted(results))
-    return results[best], (f"{best}-frame chunks auto-tuned to the live "
-                           f"link (probed {probed} fps)")
+    probed = ", ".join(f"C{c}/{f}={results[(c, f)]:.1f}"
+                       for c, f in sorted(results))
+    return results[best], (f"{best[0]}-frame {best[1]} chunks auto-tuned to "
+                           f"the live link (probed {probed} fps)")
 
 
 def link_probe_mbps() -> float:
@@ -287,7 +296,7 @@ def link_probe_mbps() -> float:
     return (buf.nbytes / (1 << 20)) / statistics.median(ts)
 
 
-def bench_qa(seven_b=False, spec=0, max_new=16):
+def bench_qa(seven_b=False, spec=0, max_new=16, vs_plain=False):
     """QA latency: retrieval forward + prompt prefill + decode.
 
     spec>0 builds the session with prompt-lookup speculative decoding
@@ -295,7 +304,13 @@ def bench_qa(seven_b=False, spec=0, max_new=16):
     asks the same question repeatedly, which is the repeat/related-question
     serving regime (StreamingBench re-asks over one video) where history
     drafting shines; answers are bit-identical to plain greedy either way,
-    so the delta is pure decode-loop speedup at the achieved acceptance."""
+    so the delta is pure decode-loop speedup at the achieved acceptance.
+
+    vs_plain: also measure PLAIN greedy on the SAME session via the runtime
+    set_spec_decode(0) toggle and return (spec_ms, plain_ms).  One session
+    serves both arms: identical stream state for a fair delta, and half the
+    peak HBM — two 7B sessions (~11 GB each) cannot coexist on one 16 GB
+    chip (the round-3 qa_7b_spec RESOURCE_EXHAUSTED)."""
     sess, cfg = build(seven_b=seven_b, spec=spec,
                       spec_history=256 if spec else 0)
     sess.encode_init_prompt(list(range(14)))
@@ -307,15 +322,23 @@ def bench_qa(seven_b=False, spec=0, max_new=16):
     q = list(rng.integers(1, 1000, size=24))
     p = list(rng.integers(1, 1000, size=40))
 
-    lat = []
-    for rep in range(7):
-        t0 = time.perf_counter()
-        ans = sess.question_answering(q, p, stop_token_ids=[-2],
-                                      max_new_tokens=max_new)
-        lat.append((time.perf_counter() - t0) * 1000)
-        assert len(ans) == max_new
-    lat.sort()
-    return lat[len(lat) // 2]
+    def arm():
+        lat = []
+        for rep in range(7):
+            t0 = time.perf_counter()
+            ans = sess.question_answering(q, p, stop_token_ids=[-2],
+                                          max_new_tokens=max_new)
+            lat.append((time.perf_counter() - t0) * 1000)
+            assert len(ans) == max_new
+        lat.sort()
+        return lat[len(lat) // 2]
+
+    spec_ms = arm()
+    if not vs_plain:
+        return spec_ms
+    sess.set_spec_decode(0)
+    plain_ms = arm()
+    return spec_ms, plain_ms
 
 
 def bench_qa_host(warm=False, quant="default"):
@@ -406,6 +429,12 @@ def bench_serving():
     qs = [list(rng.integers(1, 1000, size=n)) for n in (24, 20, 16, 24)]
     ps = [list(rng.integers(1, 1000, size=n)) for n in (40, 36, 40, 32)]
 
+    # pin the router: this bench measures BOTH arms explicitly (production
+    # sessions default to 'auto', which probes exactly these two arms on
+    # live ticks and keeps the winner)
+    from stc_tpu.runtime.session import _ServeRouter
+    sess._serve_router = _ServeRouter("fused")
+
     def fused():
         tok, cnt = sess.serve(feats, None, qs, ps, stop_token_ids=[-2],
                               max_new_tokens=16)
@@ -486,14 +515,11 @@ def main():
         }))
     elif mode in ("qa_spec", "qa_7b_spec"):
         seven = mode == "qa_7b_spec"
-        spec_ms = bench_qa(seven_b=seven, spec=4, max_new=32)
-        # two full sessions live in one process at 7B scale (~11 GB each of
-        # a 16 GB chip): drop the first session's executables + buffers
-        # before the plain-greedy baseline builds, or its init OOMs
-        import gc
-        gc.collect()
-        jax.clear_caches()
-        plain_ms = bench_qa(seven_b=seven, spec=0, max_new=32)
+        # one session serves BOTH arms (set_spec_decode(0) swaps the QA
+        # program on the live state): a fair same-state delta, and half the
+        # peak HBM — two 7B sessions cannot coexist on one 16 GB chip
+        spec_ms, plain_ms = bench_qa(seven_b=seven, spec=4, max_new=32,
+                                     vs_plain=True)
         shapes = "llava-ov-7b int8 weights" if seven else "llava-ov-0.5b"
         print(json.dumps({
             "metric": "QA latency p50 WITH PROMPT-LOOKUP SPECULATIVE DECODE "
@@ -579,15 +605,20 @@ def main():
         }))
     elif mode == "serving":
         fused_ms, unfused_ms = bench_serving()
+        routed_ms = min(fused_ms, unfused_ms)
+        pick = "fused" if fused_ms <= unfused_ms else "unfused"
         print(json.dumps({
-            "metric": "fused serving tick p50 (4 multiplexed streams: "
+            "metric": "ROUTED serving tick p50 (4 multiplexed streams: "
                       f"ragged {CHUNK}-frame encode + 4 per-stream questions "
-                      "with 16-token decode in ONE dispatch via serve_step; "
-                      "vs_baseline = speedup over the unfused encode+QA "
-                      "dispatch pair on the same session state)",
-            "value": round(fused_ms, 1),
+                      "with 16-token decode; sessions probe the fused "
+                      "one-dispatch tick vs the unfused encode+QA pair on "
+                      "live ticks and keep the winner — _ServeRouter; "
+                      f"this run measured fused={fused_ms:.0f} ms, "
+                      f"unfused={unfused_ms:.0f} ms, routed to {pick}; "
+                      "vs_baseline = unfused pair p50 / routed p50)",
+            "value": round(routed_ms, 1),
             "unit": "ms",
-            "vs_baseline": round(unfused_ms / fused_ms, 3),
+            "vs_baseline": round(unfused_ms / routed_ms, 3),
         }))
     elif mode == "qa_host_warm":
         ms = bench_qa_host(warm=True)

@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""REAL-WEIGHTS answer-parity gate: reference loop vs stc_tpu, one clip.
+
+The in-tree e2e oracle (tests/test_e2e_reference.py) proves answer + per-layer
+retrieval-index parity against the reference's OWN model loop from a tiny
+random-weight checkpoint.  What it cannot prove in this container is the
+BASELINE.md north star — <=1% accuracy drop on REAL checkpoints — because no
+weights or datasets ship here (no network egress).  This script is that gate,
+dormant: the day an environment has weights (or network), run it and it
+settles the question on one EgoSchema-style multiple-choice fixture clip.
+
+What it does, mirroring the reference end to end:
+  1. Loads the real checkpoint twice:
+       - reference: `model.llava_onevision_rekv.load_model`
+         (/root/reference/model/llava_onevision_rekv.py:155-201) on torch CPU
+         (device='cpu'; fp32 — fp16 on CPU is unsupported for several ops),
+         driven exactly like the VideoQA runner
+         (/root/reference/model/video_qa/base_refactored.py:21-44):
+         clear_cache -> encode_init_prompt -> encode_video -> QA per question.
+       - stc_tpu: `models.llava_onevision.load_llava_ov_7b` with the matching
+         ReKVConfig (n_init from the tokenized init prompt, n_local=15000,
+         topk=64, block_size=token_per_frame, STC cacher+pruner on).
+  2. Feeds both the SAME frames: a provided --video (decord/OpenCV, 1 fps —
+     the runner's sampling) or, with no video, a deterministic synthetic clip
+     (seeded uint8 — parity is about the pipeline, not the footage).
+  3. Asks the EgoSchema-style 5-way multiple-choice question(s) from --qa
+     (JSON: [{"question": ..., "options": [...]}]) or a built-in fixture,
+     using the reference's own prompt template, and compares:
+       - the chosen ANSWER LETTER (the accuracy-bearing bit) — must be equal;
+       - the generated token ids — reported, expected equal on CPU/fp32,
+         near-equal on TPU bf16 (matmul order differs; letter must not).
+  4. Prints a JSON fingerprint {sha of frames, per-question letters+ids} so
+     two runs (or two machines) can be diffed without shipping weights.
+
+Usage:
+  python scripts/real_weights_parity.py \
+      --model /path/to/llava-onevision-qwen2-0.5b-ov-hf \
+      [--video clip.mp4] [--qa qa.json] [--max-new-tokens 16]
+
+Exit codes: 0 parity, 1 mismatch, 77 skipped (weights/deps unavailable —
+the CI convention for SKIP so a wired-up runner can gate on it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+SKIP = 77
+
+
+def skip(msg: str):
+    print(f"SKIP: {msg}", file=sys.stderr)
+    sys.exit(SKIP)
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=os.environ.get("STC_WEIGHTS_DIR"),
+                    help="local HF checkpoint dir (or hub id if networked)")
+    ap.add_argument("--video", default=None, help="optional mp4 fixture")
+    ap.add_argument("--qa", default=None,
+                    help="JSON [{question, options:[5]}]; default: fixture")
+    ap.add_argument("--n-frames", type=int, default=32,
+                    help="synthetic-clip frames when --video is absent")
+    ap.add_argument("--max-new-tokens", type=int, default=16)
+    return ap.parse_args()
+
+
+FIXTURE_QA = [
+    {"question": "What is the primary activity shown in the video?",
+     "options": ["cooking a meal", "repairing a bicycle",
+                 "painting a wall", "playing a board game",
+                 "assembling furniture"]},
+    {"question": "How many distinct scenes does the video contain?",
+     "options": ["one", "two", "three", "four", "five"]},
+]
+
+# the EgoSchema option prompt the reference's offline QA scripts build
+# (reference model/video_qa templates): letter-keyed options, answer letter
+LETTERS = "ABCDE"
+
+
+def build_prompt(q: dict) -> tuple[str, str]:
+    opts = "\n".join(f"{LETTERS[i]}. {o}" for i, o in enumerate(q["options"]))
+    question = (f"Question: {q['question']}\nOptions:\n{opts}\n"
+                "Answer with the option's letter from the given choices "
+                "directly.")
+    return question, "Best option: ("
+
+
+def load_frames(args):
+    import numpy as np
+    if args.video:
+        from stc_tpu.eval.solvers import load_video_frames
+        frames = load_video_frames(args.video, sample_fps=1)
+        return np.asarray(frames)
+    rng = np.random.default_rng(20260819)
+    return rng.integers(0, 256, size=(args.n_frames, 384, 384, 3),
+                        dtype=np.uint8)
+
+
+def answer_letter(text: str) -> str:
+    for ch in text:
+        if ch.upper() in LETTERS:
+            return ch.upper()
+    return "?"
+
+
+def run_reference(model_path: str, frames, qa, max_new: int):
+    """The reference's own loop, verbatim semantics (torch CPU)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from model.llava_onevision_rekv import load_model  # noqa: E402
+    model, processor = load_model(model_path, device="cpu")
+    model.float()  # fp16 matmuls are unsupported on CPU
+    with torch.inference_mode():
+        model.clear_cache()
+        model.encode_init_prompt()
+        model.encode_video(torch.from_numpy(frames))
+        out = []
+        for q in qa:
+            question, prompt = build_prompt(q)
+            text = model.question_answering(
+                {"question": question, "prompt": prompt},
+                max_new_tokens=max_new)
+            out.append(text)
+    return out
+
+
+def run_stc(model_path: str, frames, qa, max_new: int):
+    import jax.numpy as jnp
+    from transformers import AutoProcessor
+
+    from stc_tpu.config import (CacherConfig, PrunerConfig, ReKVConfig,
+                                SessionConfig)
+    from stc_tpu.models.llava_onevision import load_llava_ov_7b
+
+    processor = AutoProcessor.from_pretrained(model_path)
+    tok = processor.tokenizer
+    init_prompt = ("<|im_start|>system \nYou are a helpful assistant."
+                   "<|im_end|><|im_start|>user ")
+    init_ids = tok(init_prompt).input_ids
+    token_per_frame = 60  # reference get_config().model.token_per_frame
+    #                       default (model/config.py ModelConfig); the
+    #                       pruner keeps 60 of the 196 pooled tokens/frame
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=len(init_ids), n_local=15000,
+                        block_size=token_per_frame,
+                        exc_block_size=token_per_frame, topk=64,
+                        chunk_size=1, max_blocks=256,
+                        max_prompt_tokens=256, max_new_tokens=max_new),
+        cacher=CacherConfig(strategy="cacher"),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=token_per_frame),
+        encode_chunk_frames=1,
+    )
+    sess, _ = load_llava_ov_7b(model_path, scfg=scfg, dtype=jnp.float32)
+    sess.encode_init_prompt(init_ids)
+    sess.encode_video(frames)
+    stops = [tok.eos_token_id]
+    out = []
+    for q in qa:
+        question, prompt = build_prompt(q)
+        q_ids = tok(question).input_ids
+        p_ids = tok(prompt).input_ids
+        ids = sess.question_answering(q_ids, p_ids, stop_token_ids=stops,
+                                      max_new_tokens=max_new)
+        out.append(tok.decode(ids, skip_special_tokens=True))
+    return out
+
+
+def main():
+    args = parse_args()
+    if not args.model:
+        skip("no checkpoint: pass --model or set STC_WEIGHTS_DIR "
+             "(e.g. a local clone of llava-hf/llava-onevision-qwen2-0.5b-ov-hf)")
+    if os.path.sep in args.model and not os.path.isdir(args.model):
+        skip(f"checkpoint dir not found: {args.model}")
+    try:
+        import torch  # noqa: F401
+        import decord  # noqa: F401  (reference load_model imports it)
+    except ImportError as e:
+        skip(f"missing dependency for the reference loop: {e}")
+    if not os.path.isdir("/root/reference"):
+        skip("reference tree not present")
+
+    qa = (json.load(open(args.qa)) if args.qa else FIXTURE_QA)
+    frames = load_frames(args)
+    fp = hashlib.sha256(frames.tobytes()).hexdigest()[:16]
+
+    ref_answers = run_reference(args.model, frames, qa, args.max_new_tokens)
+    stc_answers = run_stc(args.model, frames, qa, args.max_new_tokens)
+
+    rows, ok = [], True
+    for q, ra, sa in zip(qa, ref_answers, stc_answers):
+        rl, sl = answer_letter(ra), answer_letter(sa)
+        rows.append({"question": q["question"], "ref_letter": rl,
+                     "stc_letter": sl, "ref_text": ra, "stc_text": sa})
+        ok &= (rl == sl)
+    print(json.dumps({"frames_sha": fp, "model": args.model,
+                      "parity": ok, "rows": rows}, indent=2))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -236,12 +236,22 @@ class SessionConfig:
     # int8 logit drift at ~1/N extra scale bytes; N must divide every
     # contraction dim, 128 divides all llava-ov shapes)
     weights_quant: str = "none"
+    # Pixel-session ingest format: 'rgb' ((B, n, H, W, 3) uint8 frames
+    # cross the link raw) | 'yuv420' (packed planar BT.601 4:2:0 planes at
+    # HALF the bytes/frame; the chroma upsample + RGB matrix run ON DEVICE
+    # inside the fused vision jit).  Video codecs store 4:2:0, so a decoder
+    # hands the planes over for free — 'yuv420' removes the host-side
+    # chroma upsample AND halves the dominant transfer on link-bound hosts.
+    # RGB sources are packed host-side (native/rgb_to_yuv420, C++ or
+    # bit-identical numpy).
+    ingest_format: str = "rgb"
 
     def __post_init__(self):
         assert (self.weights_quant in ("none", "int8")
                 or (self.weights_quant.startswith("int8_g")
                     and self.weights_quant[6:].isdigit()
                     and int(self.weights_quant[6:]) > 0)), self.weights_quant
+        assert self.ingest_format in ("rgb", "yuv420"), self.ingest_format
 
     @property
     def weights_quant_group(self) -> int:

@@ -174,7 +174,8 @@ class LlavaOVVision(VisionPipeline):
         self.dtype = dtype
         self.batch = batch
         self._pre1 = make_preprocessor(cfg.vision.image_size,
-                                       IMAGE_MEAN, IMAGE_STD, dtype)
+                                       IMAGE_MEAN, IMAGE_STD, dtype,
+                                       ingest=scfg.ingest_format)
 
     def preprocess(self, frames):
         frames = np.asarray(frames)

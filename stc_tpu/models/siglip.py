@@ -180,10 +180,27 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
 
     h: (F, T, C) current chunk frames; refs: per-layer reference activations
     (F_ref==1 broadcastable (1, T, C) slices).
+
+    BANDWIDTH-SHAPED (round-4): the reference's selective path reads its
+    refs once (custom_siglip.py:129-224); the first rebuild instead
+    materialized three full-size (F, T, C) buffers per layer
+    (broadcast-ref + scatter for V, attn out, and MLP out), so the cacher
+    step touched MORE HBM than the full path despite 2.3x fewer FLOPs
+    (round-3 ROOFLINE.json).  Now:
+      - per-frame V is never materialized: attention against the scattered
+        V decomposes into (probs @ shared-ref-V) + (gathered probs @
+        (fresh-V - ref-V rows)) — the ref is read once at (T, C), the
+        correction is (F, U, U)-small;
+      - attn/MLP outputs merge into the residual stream as a broadcast add
+        (streams the ref once) + a row-granular scatter of the recomputed
+        tokens — bit-identical to scattering a full buffer first, without
+        writing one.
     """
     eps = cfg.layer_norm_eps
     ref_k, ref_v, ref_attn, ref_mlp = refs
     F_, T, C = h.shape
+    H = cfg.num_heads
+    D = C // H
 
     hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
     k_full = hn @ lp["wk"] + lp["bk"]                       # (F, T, C)
@@ -205,29 +222,52 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
     _, upd_idx = jax.lax.top_k(-sim, num_update)            # (F, U)
     upd_idx = jnp.sort(upd_idx, axis=-1)
     frow = jnp.arange(F_, dtype=jnp.int32)[:, None]          # (F, 1)
+    U = num_update
 
     toks = hn[frow, upd_idx]                                 # row gather (F,U,C)
     q_sel = toks @ lp["wq"] + lp["bq"]
-    if sim_source == "value":
-        v_full = v_fresh
-    else:
-        v_sel = toks @ lp["wv"] + lp["bv"]
-        v_full = _scatter_tokens(jnp.broadcast_to(ref_v, (F_, T, C)),
-                                 upd_idx, v_sel)
 
-    attn_sel = _attn_full(q_sel, k_full, v_full, cfg.num_heads)
+    if sim_source == "value":
+        # the V-sim variant attends against the fully fresh V
+        attn_sel = _attn_full(q_sel, k_full, v_fresh, cfg.num_heads)
+    else:
+        # attention with the updated-V decomposition: softmax probs once,
+        # then  probs @ V_scattered
+        #     = probs @ ref_V  +  probs[:, upd] @ (V_fresh - ref_V)[upd]
+        v_sel = toks @ lp["wv"] + lp["bv"]                   # (F, U, C)
+        qh = q_sel.reshape(F_, U, H, D).transpose(0, 2, 1, 3)
+        kh = k_full.reshape(F_, T, H, D).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("fhud,fhtd->fhut", qh, kh,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
+        p = jax.nn.softmax(logits, axis=-1).astype(q_sel.dtype)
+        rvh = ref_v[0].reshape(T, H, D)                      # shared ref, (T,H,D)
+        o = jnp.einsum("fhut,thd->fhud", p, rvh,
+                       preferred_element_type=jnp.float32)
+        # correction at the updated columns only
+        p_sel = jnp.take_along_axis(
+            p, upd_idx[:, None, None, :], axis=3)            # (F, H, U, U)
+        dv = (v_sel - ref_v[0][upd_idx]).reshape(F_, U, H, D)
+        o = o + jnp.einsum("fhuw,fwhd->fhud", p_sel,
+                           dv.astype(p_sel.dtype),
+                           preferred_element_type=jnp.float32)
+        attn_sel = o.transpose(0, 2, 1, 3).reshape(F_, U, C).astype(h.dtype)
+
     attn_sel = attn_sel @ lp["wo"] + lp["bo"]               # (F, U, C)
-    attn_full = _scatter_tokens(jnp.broadcast_to(ref_attn, (F_, T, C)),
-                                upd_idx, attn_sel)
-    h = h + attn_full
+    # residual merge without materializing a full scattered buffer: rows
+    # outside upd_idx take h + ref (one streaming pass over the ref), rows
+    # inside take the recomputed h_row + attn_sel (bit-identical operands
+    # to the scatter-then-add formulation)
+    h_rows = h[frow, upd_idx]
+    h = h + ref_attn
+    h = _scatter_tokens(h, upd_idx, h_rows + attn_sel)
 
     hn2 = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
     toks2 = hn2[frow, upd_idx]
     mlp_sel = jax.nn.gelu(toks2 @ lp["fc1"] + lp["fc1_b"], approximate=True)
     mlp_sel = mlp_sel @ lp["fc2"] + lp["fc2_b"]
-    mlp_full = _scatter_tokens(jnp.broadcast_to(ref_mlp, (F_, T, C)),
-                               upd_idx, mlp_sel)
-    h = h + mlp_full
+    h_rows2 = h[frow, upd_idx]
+    h = h + ref_mlp
+    h = _scatter_tokens(h, upd_idx, h_rows2 + mlp_sel)
     return h
 
 

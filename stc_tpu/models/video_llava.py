@@ -71,7 +71,8 @@ class VideoLlavaVision(cl.ClipStreamsMixin, VisionPipeline):
         self.dtype = dtype
         self.batch = batch
         self._pre = make_preprocessor(cfg.vision.image_size,
-                                      CLIP_MEAN, CLIP_STD, dtype)
+                                      CLIP_MEAN, CLIP_STD, dtype,
+                                      ingest=scfg.ingest_format)
 
     def preprocess(self, frames):
         frames = np.asarray(frames)

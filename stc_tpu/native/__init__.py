@@ -60,6 +60,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        lib.stc_rgb_to_yuv420.restype = ctypes.c_int
+        lib.stc_rgb_to_yuv420.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -93,4 +98,50 @@ def preprocess_frames(frames: np.ndarray, out_hw: int, mean, std,
         int(n_threads))
     if rc != 0:
         return None
+    return out
+
+
+def _rgb_to_yuv420_np(frames: np.ndarray) -> np.ndarray:
+    """Pure-numpy mirror of stc_rgb_to_yuv420 — BIT-IDENTICAL output (same
+    x256 fixed-point coefficients and rounding)."""
+    n, h, w, _ = frames.shape
+    f = frames.astype(np.int32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    u = (-43 * r - 85 * g + 128 * b + 32768 + 128) >> 8
+    v = (128 * r - 107 * g - 21 * b + 32768 + 128) >> 8
+    # 2x2 chroma average (sum of the four per-pixel values, +2 rounding)
+    def sub(c):
+        c = c.reshape(n, h // 2, 2, w // 2, 2)
+        return (c.sum(axis=(2, 4)) + 2) >> 2
+    out = np.concatenate(
+        [y.reshape(n, -1), sub(u).reshape(n, -1), sub(v).reshape(n, -1)],
+        axis=1).astype(np.uint8)
+    return out
+
+
+def rgb_to_yuv420(frames: np.ndarray,
+                  n_threads: Optional[int] = None) -> np.ndarray:
+    """(n, h, w, 3) uint8 RGB -> (n, h*w*3//2) uint8 packed planar YUV420
+    (BT.601 full range, 2x2 chroma average): HALF the host->device bytes of
+    raw RGB.  Production video is stored 4:2:0 — a decoder hands these
+    planes over for free; this converter exists for RGB sources (tests,
+    synthetic benches, webcams).  Native C++ when available, bit-identical
+    numpy otherwise; h and w must be even."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    assert c == 3 and h % 2 == 0 and w % 2 == 0, frames.shape
+    lib = get_lib()
+    if lib is None:
+        return _rgb_to_yuv420_np(frames)
+    out = np.empty((n, h * w * 3 // 2), dtype=np.uint8)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.stc_rgb_to_yuv420(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_threads))
+    if rc != 0:
+        return _rgb_to_yuv420_np(frames)
     return out

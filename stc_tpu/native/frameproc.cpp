@@ -53,9 +53,73 @@ void preprocess_one(const uint8_t* frame, int h, int w, float* out,
     }
 }
 
+// BT.601 full-range RGB -> planar YUV 4:2:0, fixed-point (x256) integer
+// math so the numpy fallback (native/__init__.py rgb_to_yuv420) reproduces
+// it bit-for-bit.  Out layout per frame: Y[h*w] U[h/2*w/2] V[h/2*w/2].
+void rgb_to_yuv420_one(const uint8_t* frame, int h, int w, uint8_t* out) {
+    const int cw = w / 2, ch = h / 2;
+    uint8_t* Y = out;
+    uint8_t* U = out + h * w;
+    uint8_t* V = U + ch * cw;
+    // chroma accumulated over each 2x2 block before the >>2 average
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            const uint8_t* p = frame + (y * w + x) * 3;
+            const int r = p[0], g = p[1], b = p[2];
+            Y[y * w + x] = static_cast<uint8_t>(
+                (77 * r + 150 * g + 29 * b + 128) >> 8);
+        }
+    }
+    for (int cy = 0; cy < ch; ++cy) {
+        for (int cx = 0; cx < cw; ++cx) {
+            int su = 0, sv = 0;
+            for (int dy = 0; dy < 2; ++dy) {
+                for (int dx = 0; dx < 2; ++dx) {
+                    const uint8_t* p =
+                        frame + ((2 * cy + dy) * w + (2 * cx + dx)) * 3;
+                    const int r = p[0], g = p[1], b = p[2];
+                    su += (-43 * r - 85 * g + 128 * b + 32768 + 128) >> 8;
+                    sv += (128 * r - 107 * g - 21 * b + 32768 + 128) >> 8;
+                }
+            }
+            U[cy * cw + cx] = static_cast<uint8_t>((su + 2) >> 2);
+            V[cy * cw + cx] = static_cast<uint8_t>((sv + 2) >> 2);
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Returns 0 on success.  h and w must be even.
+int stc_rgb_to_yuv420(const uint8_t* frames, int n, int h, int w,
+                      uint8_t* out, int n_threads) {
+    if (n <= 0 || h <= 0 || w <= 0 || (h % 2) || (w % 2)) return 1;
+    const long in_stride = static_cast<long>(h) * w * 3;
+    const long out_stride = static_cast<long>(h) * w * 3 / 2;
+
+    auto work = [&](int begin, int end) {
+        for (int i = begin; i < end; ++i)
+            rgb_to_yuv420_one(frames + i * in_stride, h, w,
+                              out + i * out_stride);
+    };
+
+    n_threads = std::max(1, std::min(n_threads, n));
+    if (n_threads == 1) {
+        work(0, n);
+        return 0;
+    }
+    std::vector<std::thread> threads;
+    const int per = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int b = t * per;
+        const int e = std::min(n, b + per);
+        if (b < e) threads.emplace_back(work, b, e);
+    }
+    for (auto& th : threads) th.join();
+    return 0;
+}
 
 // Returns 0 on success.
 int stc_preprocess_frames(const uint8_t* frames, int n, int h, int w,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -49,6 +50,56 @@ def _resolve_backend(name: str) -> str:
     if name != "auto":
         return name
     return "jnp" if jax.default_backend() == "cpu" else "pallas"
+
+
+class _ServeRouter:
+    """MEASURED-COST routing between the fused serving tick (one dispatch)
+    and the unfused encode+QA dispatch pair.
+
+    Structural eligibility says the fused tick CAN run; whether it's FASTER
+    is a platform property, not a code property — one merged XLA program
+    can schedule/lay out worse than the two programs it replaces (measured
+    on the round-3 relay: the fused tick ran 0.84x the pair it fused).  So
+    'auto' routes on live measurements: for each dispatch-shape key the
+    first 1+N ticks run fused (the first is the compile tick, discarded),
+    the next 1+N run unfused, then the winner — min of timed samples, ties
+    prefer fused (fewer dispatches) — serves every later tick of that
+    shape.  Probe ticks are real serving ticks (both paths are correct);
+    only their latency differs, so probing costs nothing but the slower
+    arm's samples.
+
+    STC_SERVE_ROUTE=fused|unfused pins the route (tests pin 'fused' to
+    exercise the fused tick's structure deterministically; bench.py
+    measures both arms explicitly and reports what 'auto' would pick).
+    """
+
+    N_TIME = 2
+
+    def __init__(self, mode: str | None = None):
+        self.mode = mode or os.environ.get("STC_SERVE_ROUTE", "auto")
+        assert self.mode in ("auto", "fused", "unfused"), self.mode
+        self._hist: dict = {}
+        self.decisions: dict = {}  # key -> "fused"|"unfused" (observability)
+
+    def plan(self, key) -> str:
+        if self.mode != "auto":
+            return self.mode
+        if key in self.decisions:
+            return self.decisions[key]
+        h = self._hist.setdefault(key, {"fused": [], "unfused": []})
+        if len(h["fused"]) < 1 + self.N_TIME:
+            return "fused"
+        if len(h["unfused"]) < 1 + self.N_TIME:
+            return "unfused"
+        t_f, t_u = min(h["fused"][1:]), min(h["unfused"][1:])
+        self.decisions[key] = "fused" if t_f <= t_u else "unfused"
+        return self.decisions[key]
+
+    def record(self, key, fused: bool, dt: float) -> None:
+        if self.mode != "auto" or key in self.decisions:
+            return
+        self._hist.setdefault(key, {"fused": [], "unfused": []})[
+            "fused" if fused else "unfused"].append(dt)
 
 
 class StreamingSession:
@@ -83,6 +134,8 @@ class StreamingSession:
         self.mesh = mesh
         self.pp = (int(mesh.shape["pp"])
                    if mesh is not None and "pp" in mesh.shape else 1)
+        # fused-vs-unfused serving ticks route on live measurements
+        self._serve_router = _ServeRouter()
 
         # decode_cap > n_local (large topk / small n_local / long decodes)
         # engages decode_attend's complement-window init stage — the
@@ -513,18 +566,26 @@ class StreamingSession:
         act_dev, act_np = self._normalize_active(active)
         q_ids, q_len = self._pad_ids(questions)
         p_ids, p_len = self._pad_ids(prompts)
-        fused = (T <= rc.exc_block_size
-                 and rc.retrieval_scorer == "mean_dot"
-                 and self._evicted_pages == 0
-                 and self.pp == 1  # serve_step is not pp-wired; pp ticks
-                                   # run encode + QA pipelines separately
-                 and self._total_blocks + n - self._evicted_pages
-                 <= rc.max_blocks)
+        eligible = (T <= rc.exc_block_size
+                    and rc.retrieval_scorer == "mean_dot"
+                    and self._evicted_pages == 0
+                    and self.pp == 1  # serve_step is not pp-wired; pp ticks
+                                      # run encode + QA pipelines separately
+                    and self._total_blocks + n - self._evicted_pages
+                    <= rc.max_blocks)
+        key = ("feat", T, q_ids.shape[1], p_ids.shape[1], max_new_tokens)
+        fused = (eligible
+                 and self._serve_router.plan(key) == "fused")
         self.last_serve_fused = fused  # observability (ServingEngine stats)
         if not fused:
+            t0 = time.perf_counter()
             self.encode_video_features(feats, active=act_np)
-            return self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
-                                max_new_tokens, hist_rows=asked)
+            out = self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
+                               max_new_tokens, hist_rows=asked)
+            if eligible:  # a routed (not structural) unfused tick: sample it
+                self._serve_router.record(key, False,
+                                          time.perf_counter() - t0)
+            return out
         self._maybe_evict(n)  # rep-capacity fail-fast (never evicts here)
         if not hasattr(self, "_serve_jit"):
             self._serve_jit = jax.jit(functools.partial(
@@ -533,6 +594,7 @@ class StreamingSession:
                 static_argnames=("max_new_tokens",), donate_argnames=("kvs",))
         stop_arr = _stop_arr(stop_token_ids)
         mask = (jnp.ones((B,), bool) if act_dev is None else act_dev)
+        t0 = time.perf_counter()
         self.kvs, tokens, count = self._serve_jit(
             self.params, kvs=self.kvs, embeds=feats, active=mask,
             q_ids=jnp.asarray(q_ids), q_len=jnp.asarray(q_len, jnp.int32),
@@ -541,6 +603,7 @@ class StreamingSession:
             **self._hist_kw())
         self._track_blocks(n, active=act_np)
         tokens, count = np.asarray(tokens), np.asarray(count)
+        self._serve_router.record(key, True, time.perf_counter() - t0)
         self._hist_append(q_ids, q_len, p_ids, p_len, tokens, count,
                           rows=asked)
         return tokens, count
@@ -581,6 +644,52 @@ class StreamingSession:
         # a recycled slot must not draft from the previous tenant's QAs
         self._qa_hist[mask] = 0
         self._qa_hist_len[mask] = 0
+
+    def set_spec_decode(self, draft: int, history_tokens: int | None = None):
+        """Toggle prompt-lookup SPECULATIVE DECODING at runtime without
+        touching stream state: swap the QA programs (answers are
+        bit-identical to greedy either way, so a server can flip this on
+        the live session — e.g. enable drafting once a stream enters the
+        repeat-question regime, or disable it to halve QA memory).
+
+        draft: drafts per round (0 = plain greedy).  history_tokens:
+        cross-question draft-history size (None keeps the config value).
+        The draft-history ring is resized to match; it only ever feeds
+        draft PROPOSALS, so resizing never changes answers."""
+        import dataclasses
+        if self.pp > 1 and draft > 0:
+            raise ValueError("speculative decode is not supported under pp")
+        kw = dict(spec_decode_draft=draft)
+        if history_tokens is not None:
+            kw["spec_history_tokens"] = history_tokens
+        self.rekv = rc = dataclasses.replace(self.rekv, **kw)
+        self.scfg = dataclasses.replace(self.scfg, rekv=rc)
+        mc = self.mcfg
+        # rebuild the programs that bake the draft schedule in; the streaming
+        # encode path is untouched
+        self._greedy = jax.jit(functools.partial(
+            qw.greedy_decode, cfg=mc, rekv=rc),
+            static_argnames=("max_new_tokens",), donate_argnames=("dkvs",))
+        self._answer = jax.jit(functools.partial(
+            qw.answer_question, cfg=mc, rekv=rc),
+            static_argnames=("max_new_tokens",))
+        self._answer_host = jax.jit(functools.partial(
+            qw.answer_question_hosttier, cfg=mc, rekv=rc),
+            static_argnames=("max_new_tokens",))
+        if hasattr(self, "_serve_jit"):
+            del self._serve_jit  # rebuilt lazily against the new rekv
+        H = rc.spec_history_tokens if draft else 0
+        if H != self._qa_hist.shape[1]:
+            old, old_len = self._qa_hist, self._qa_hist_len
+            self._qa_hist = np.zeros((self.batch, H), dtype=np.int32)
+            self._qa_hist_len = np.zeros(self.batch, dtype=np.int32)
+            keep = min(H, old.shape[1])
+            if keep:  # most recent draft material survives a resize
+                for b in range(self.batch):
+                    L = min(int(old_len[b]), keep)
+                    self._qa_hist[b, :L] = old[b, int(old_len[b]) - L:
+                                               int(old_len[b])]
+                    self._qa_hist_len[b] = L
 
     def _hist_kw(self):
         """Speculative-draft history operands for the QA jits ({} when the

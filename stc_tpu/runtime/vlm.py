@@ -11,6 +11,7 @@ cache_interval) mirrors the reference's STC_CACHE.new_instance-per-chunk loop
 from __future__ import annotations
 
 import functools
+import time
 from typing import Any, Dict
 
 import jax
@@ -34,24 +35,70 @@ class Preprocessor:
     Calling the object runs both halves host-side (legacy path, used by
     standalone encoders and tests)."""
 
-    def __init__(self, image_size: int, mean, std, dtype):
+    def __init__(self, image_size: int, mean, std, dtype,
+                 ingest: str = "rgb"):
         self.image_size = image_size
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.dtype = dtype
+        self.ingest = ingest
+        self._src_hw = None  # (h, w) of packed yuv420 planes, set on host()
         self._jit = jax.jit(self.device)
 
     def host(self, frames) -> np.ndarray:
-        """Stage frames for transfer: uint8 passes through untouched."""
+        """Stage frames for transfer: uint8 passes through untouched (rgb)
+        or packs to planar YUV 4:2:0 at half the bytes (ingest='yuv420').
+        Already-packed (N, h*w*3//2) uint8 planes pass through — the shape
+        a video decoder hands over directly (set src_hw first or stage one
+        RGB chunk)."""
         frames = np.asarray(frames)
+        if frames.dtype == np.uint8 and self.ingest == "yuv420":
+            if frames.ndim == 2:  # already-packed planes
+                assert self._src_hw is not None, (
+                    "packed yuv420 input needs src_hw: stage one RGB chunk "
+                    "first or set pre.src_hw = (h, w)")
+                return np.ascontiguousarray(frames)
+            from stc_tpu import native
+            self._src_hw = (frames.shape[1], frames.shape[2])
+            return native.rgb_to_yuv420(frames)
         if frames.dtype == np.uint8:
             return np.ascontiguousarray(frames)
         return frames  # float input: device() normalizes it the same way
 
+    @property
+    def src_hw(self):
+        return self._src_hw
+
+    @src_hw.setter
+    def src_hw(self, hw):
+        self._src_hw = (int(hw[0]), int(hw[1]))
+
+    def _yuv_to_rgb(self, x):
+        """(N, h*w*3//2) packed uint8 planes -> (N, h, w, 3) float RGB in
+        [0, 255]: nearest 2x2 chroma upsample + BT.601 full-range matrix,
+        traced into the caller's fused jit (the whole conversion rides the
+        same dispatch as the vision tower — zero extra host work)."""
+        h, w = self._src_hw
+        N = x.shape[0]
+        ch, cw = h // 2, w // 2
+        y = x[:, : h * w].reshape(N, h, w).astype(jnp.float32)
+        u = x[:, h * w: h * w + ch * cw].reshape(N, ch, cw)
+        v = x[:, h * w + ch * cw:].reshape(N, ch, cw)
+        up = lambda c: jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
+        uf = up(u).astype(jnp.float32) - 128.0
+        vf = up(v).astype(jnp.float32) - 128.0
+        r = y + 1.402 * vf
+        g = y - 0.344136 * uf - 0.714136 * vf
+        b = y + 1.772 * uf
+        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
     def device(self, x):
-        """Finish preprocessing inside a jit: (N,H,W,3) uint8/float ->
-        (N,3,S,S) normalized `dtype`.  Already-preprocessed (N,3,S,S)
-        inputs pass through with a cast."""
+        """Finish preprocessing inside a jit: (N,H,W,3) uint8/float or
+        (N, h*w*3//2) packed yuv420 -> (N,3,S,S) normalized `dtype`.
+        Already-preprocessed (N,3,S,S) inputs pass through with a cast."""
+        if x.ndim == 2:  # packed yuv420 planes
+            x = self._yuv_to_rgb(x) / 255.0
+            return self._normalize(x)
         if x.ndim == 4 and x.shape[1] == 3 and x.shape[-1] != 3:
             return x.astype(self.dtype)  # legacy NCHW pixels
         x = x.astype(jnp.float32) / 255.0  # uint8 and 0-255 float alike
@@ -78,10 +125,13 @@ class Preprocessor:
         return self._jit(jnp.asarray(frames))
 
 
-def make_preprocessor(image_size: int, mean, std, dtype):
+def make_preprocessor(image_size: int, mean, std, dtype,
+                      ingest: str = "rgb"):
     """Frame preprocessor: call it for the legacy full-host path, or use
-    .host (staging) + .device (inside a jit) for the low-transfer path."""
-    return Preprocessor(image_size, mean, std, dtype)
+    .host (staging) + .device (inside a jit) for the low-transfer path.
+    ingest='yuv420' stages packed 4:2:0 planes (half the link bytes) and
+    reconstructs RGB on device."""
+    return Preprocessor(image_size, mean, std, dtype, ingest=ingest)
 
 
 class VisionPipeline:
@@ -420,18 +470,36 @@ class VLMSession(StreamingSession):
                 "VLM serve wants (B, n, H, W, 3) frames", frames.shape)
             n_frames = frames.shape[1]
             pixels = None  # staged below only if the fused path is taken
-        fused = (n_frames * S <= rc.exc_block_size
-                 and rc.retrieval_scorer == "mean_dot"
-                 and self._evicted_pages == 0
-                 and self.pp == 1  # serve_step is not pp-wired
-                 and self._total_blocks + n_frames <= rc.max_blocks)
-        self.last_serve_fused = fused
+        eligible = (n_frames * S <= rc.exc_block_size
+                    and rc.retrieval_scorer == "mean_dot"
+                    and self._evicted_pages == 0
+                    and self.pp == 1  # serve_step is not pp-wired
+                    and self._total_blocks + n_frames <= rc.max_blocks)
         q_ids, q_len = self._pad_ids(questions)
         p_ids, p_len = self._pad_ids(prompts)
+        # measured-cost routing (see session._ServeRouter): the fused
+        # vision+encode+QA program can lose to the dispatch pair on some
+        # platforms (round-3 bench: 0.84x) — probe both arms, keep the
+        # winner.  The per-slot cacher schedule is part of the key: full,
+        # cached, and mixed ticks compile different programs.
+        key = None
+        if eligible:
+            sched = (self.scfg.cacher.enabled
+                     and bool((self._slot_chunk
+                               % self.scfg.cacher.cache_interval != 0).any()))
+            key = ("vlm", n_frames, sched, q_ids.shape[1], p_ids.shape[1],
+                   max_new_tokens)
+        fused = eligible and self._serve_router.plan(key) == "fused"
+        self.last_serve_fused = fused
         if not fused:
+            t0 = time.perf_counter()
             self.encode_video(frames, active=active)
-            return self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
-                                max_new_tokens, hist_rows=asked)
+            out = self._qa_run(q_ids, q_len, p_ids, p_len, stop_token_ids,
+                               max_new_tokens, hist_rows=asked)
+            if eligible:
+                self._serve_router.record(key, False,
+                                          time.perf_counter() - t0)
+            return out
         if pixels is None:
             pixels = self.vision.preprocess(frames)
         act_dev, act_np = self._normalize_active(active)
@@ -452,6 +520,7 @@ class VLMSession(StreamingSession):
         kw = dict(self._hist_kw())
         if mixed:
             kw["need_full"] = jnp.asarray(~cached_mask)
+        t0 = time.perf_counter()
         self.kvs, self._vstate, self._pstate, tokens, count = fn(
             self._all_params, pixels, kvs=self.kvs, vstate=self._vstate,
             pstate=self._pstate, active=mask,
@@ -462,6 +531,7 @@ class VLMSession(StreamingSession):
         self._slot_chunk += 1 if act_np is None else act_np.astype(np.int64)
         self.chunk_idx += 1
         tokens, count = np.asarray(tokens), np.asarray(count)
+        self._serve_router.record(key, True, time.perf_counter() - t0)
         self._hist_append(q_ids, q_len, p_ids, p_len, tokens, count,
                           rows=asked)
         return tokens, count

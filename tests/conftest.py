@@ -17,3 +17,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Serving ticks route fused-vs-unfused on LIVE LATENCY measurements by
+# default (runtime.session._ServeRouter) — nondeterministic on a loaded CI
+# host.  Tests pin the fused path so structural assertions
+# (last_serve_fused, stats.fused_ticks) are deterministic; the router's own
+# behavior is covered by tests/test_serving.py::test_serve_router_*, which
+# construct routers with mode='auto' explicitly.
+os.environ.setdefault("STC_SERVE_ROUTE", "fused")

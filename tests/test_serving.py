@@ -260,3 +260,74 @@ def test_fused_vlm_pixel_serve_matches_sequential_dispatches():
         np.asarray(a), np.asarray(b)), sa._vstate, sb._vstate)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), sa._pstate, sb._pstate)
+
+
+# --------------------------------------------------------------------- #
+# Measured-cost serve routing (_ServeRouter)
+# --------------------------------------------------------------------- #
+
+def test_serve_router_probe_schedule_and_decision():
+    """'auto' probes fused-first (compile tick discarded), then unfused,
+    then routes every later tick of that shape to the measured winner;
+    ties prefer fused (one dispatch)."""
+    from stc_tpu.runtime.session import _ServeRouter
+    r = _ServeRouter("auto")
+    key = ("feat", 8, 8, 8, 4)
+    # fused arm: compile 50ms, timed 5/3
+    for t in (0.050, 0.005, 0.003):
+        assert r.plan(key) == "fused"
+        r.record(key, True, t)
+    # unfused arm: compile 40ms, timed 4/2 -> unfused wins (2 < 3)
+    for t in (0.040, 0.004, 0.002):
+        assert r.plan(key) == "unfused"
+        r.record(key, False, t)
+    assert r.plan(key) == "unfused"
+    assert r.decisions[key] == "unfused"
+    # decided keys ignore further samples
+    r.record(key, True, 0.0001)
+    assert r.plan(key) == "unfused"
+
+    # a second shape probes independently; tie -> fused
+    k2 = ("feat", 16, 8, 8, 4)
+    for t in (0.1, 0.002, 0.002):
+        assert r.plan(k2) == "fused"
+        r.record(k2, True, t)
+    for t in (0.1, 0.002, 0.002):
+        assert r.plan(k2) == "unfused"
+        r.record(k2, False, t)
+    assert r.plan(k2) == "fused"
+
+    # pinned modes never probe
+    assert _ServeRouter("fused").plan(key) == "fused"
+    assert _ServeRouter("unfused").plan(key) == "unfused"
+
+
+def test_serve_router_in_session_routes_and_answers_identically():
+    """A session under 'auto' routing: probe ticks follow the schedule,
+    and every tick's answers equal the pinned-fused session's — routing
+    changes latency, never answers."""
+    from stc_tpu.runtime.session import _ServeRouter
+    params, mcfg, sa = _setup(2)        # conftest pins fused
+    _, _, sb = _setup(2)
+    sb._serve_router = _ServeRouter("auto")
+    rng = np.random.default_rng(4)
+    qs = [QUESTIONS[0][0], QUESTIONS[1][0]]
+    ps = [QUESTIONS[0][1], QUESTIONS[1][1]]
+    expect_fused = [True, True, True, False, False, False]
+    for i, want_fused in enumerate(expect_fused):
+        chunk = rng.normal(size=(2, 8, mcfg.hidden_size)).astype(np.float32)
+        tok_a, cnt_a = sa.serve(chunk, None, qs, ps, STOP, max_new_tokens=4)
+        tok_b, cnt_b = sb.serve(chunk, None, qs, ps, STOP, max_new_tokens=4)
+        assert sa.last_serve_fused and sb.last_serve_fused == want_fused, i
+        np.testing.assert_array_equal(cnt_a, cnt_b)
+        for b in range(2):
+            np.testing.assert_array_equal(tok_a[b, :cnt_a[b]],
+                                          tok_b[b, :cnt_b[b]])
+    key = next(iter(sb._serve_router.decisions), None)
+    assert key is None  # decision lands on the NEXT plan() call
+    chunk = rng.normal(size=(2, 8, mcfg.hidden_size)).astype(np.float32)
+    sb.serve(chunk, None, qs, ps, STOP, max_new_tokens=4)
+    assert len(sb._serve_router.decisions) == 1
+    (key, picked), = sb._serve_router.decisions.items()
+    assert picked in ("fused", "unfused")
+    assert sb.last_serve_fused == (picked == "fused")

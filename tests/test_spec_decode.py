@@ -237,6 +237,42 @@ def test_spec_accepts_repetitive_continuations():
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_spec))
 
 
+def test_set_spec_decode_runtime_toggle():
+    """set_spec_decode flips speculation on the LIVE session (stream state
+    untouched): answers stay bit-identical through off->on->off, the fused
+    serve tick rebuilds against the new schedule, and the draft-history
+    ring resizes with the toggle (bench qa_7b_spec runs both arms on one
+    session this way — two 7B sessions don't fit one chip)."""
+    off, on = _pair(2, seed=23)
+    q, p = QUESTIONS[0]
+    want = off.question_answering_batch([q, q], [p, p], STOP,
+                                        max_new_tokens=8)
+    # spec session -> plain at runtime: identical answers, history dropped
+    on.set_spec_decode(0)
+    assert on.rekv.spec_decode_draft == 0 and on._qa_hist.shape[1] == 0
+    got = on.question_answering_batch([q, q], [p, p], STOP, max_new_tokens=8)
+    assert got == want
+    # plain session -> spec at runtime (with history): still identical
+    off.set_spec_decode(4, history_tokens=64)
+    assert off._qa_hist.shape[1] == 64
+    got = off.question_answering_batch([q, q], [p, p], STOP,
+                                       max_new_tokens=8)
+    assert got == want
+    assert (off._qa_hist_len > 0).all()
+    # fused serve tick after a toggle uses the new schedule
+    rng = np.random.default_rng(23)
+    chunk = rng.normal(size=(2, 8, off.mcfg.hidden_size)).astype(np.float32)
+    tok_a, cnt_a = off.serve(chunk, None, [q, q], [p, p], STOP,
+                             max_new_tokens=8)
+    tok_b, cnt_b = on.serve(chunk, None, [q, q], [p, p], STOP,
+                            max_new_tokens=8)
+    assert off.last_serve_fused and on.last_serve_fused
+    np.testing.assert_array_equal(cnt_a, cnt_b)
+    for b in range(2):
+        np.testing.assert_array_equal(tok_a[b, :cnt_a[b]],
+                                      tok_b[b, :cnt_b[b]])
+
+
 def test_spec_history_through_serving_engine():
     """Full engine scenario (multiplexed slots, fused ticks, churn) with
     speculation + cross-question history on: every answer bit-identical to
