@@ -261,16 +261,29 @@ def autotune_multistream(staged=False):
     (no probing) for controlled sweeps.
     """
     if os.getenv("BENCH_CHUNK_FRAMES") is not None:
-        return bench_ingest(batch=4, staged=staged), f"{CHUNK}-frame chunks"
-    results = {}
+        fmt = os.getenv("BENCH_INGEST_FORMAT", "rgb")
+        return (bench_ingest(batch=4, staged=staged, ingest=fmt),
+                f"{CHUNK}-frame {fmt} chunks")
     # candidates: chunk size x ingest format.  yuv420 ships packed 4:2:0
     # planes at HALF the bytes/frame (production video is stored 4:2:0 —
     # the decoder hands planes over for free; chroma upsample + BT.601
     # matrix ride the fused vision jit ON DEVICE) — the decisive lever on
     # transfer-bound links where raw uint8 RGB saturates the relay.
+    # One SUBPROCESS per candidate: sequential B=4 session builds in one
+    # process exhaust HBM (~6 GB state each; freeing between builds is not
+    # reliable on this backend — the round-3 qa_7b_spec OOM pattern).
+    import subprocess
+    child_mode = "multistream_staged" if staged else "multistream"
+    results = {}
     for c, fmt in ((2, "rgb"), (2, "yuv420"), (4, "yuv420")):
-        results[(c, fmt)] = bench_ingest(batch=4, staged=staged,
-                                         chunk_frames=c, ingest=fmt)
+        env = dict(os.environ, BENCH_MODE=child_mode,
+                   BENCH_CHUNK_FRAMES=str(c), BENCH_INGEST_FORMAT=fmt)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=1800)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        results[(c, fmt)] = (json.loads(lines[-1])["value"]
+                             if (r.returncode == 0 and lines) else 0.0)
     best = max(results, key=results.get)
     probed = ", ".join(f"C{c}/{f}={results[(c, f)]:.1f}"
                        for c, f in sorted(results))
@@ -553,6 +566,20 @@ def main():
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        }))
+    elif mode == "ingest_yuv":
+        fps = bench_ingest(ingest="yuv420")
+        print(json.dumps({
+            "metric": "streaming ingest frames/sec/chip with YUV 4:2:0 "
+                      "ingest (packed planar BT.601 planes cross the link "
+                      "at HALF the bytes/frame — codecs store 4:2:0, the "
+                      "decoder hands planes over for free; chroma upsample "
+                      "+ RGB matrix ride the fused vision jit on device; "
+                      f"llava-ov-0.5b shapes, {CHUNK}-frame chunks, steady "
+                      "state)",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
         }))
     elif mode == "ingest_kvq":
         fps = bench_ingest(kv_quant="int8")

@@ -27,6 +27,7 @@ TRANSFER_BOUND = {"ingest", "ingest_kvq", "ingest_kvq4", "multistream",
 
 MODES = [
     ("ingest", {}),
+    ("ingest_yuv", {}),
     ("ingest_kvq", {}),
     ("ingest_kvq4", {}),
     ("qa", {}),

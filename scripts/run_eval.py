@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--token_per_frame", type=int, default=None)
     p.add_argument("--prune_strategy", default=None,
                    choices=[None, "stc", "none", "full_tokens"])
+    p.add_argument("--ingest", default=None, choices=["rgb", "yuv420"],
+                   help="pixel ingest format: yuv420 halves the "
+                        "host->device bytes/frame (packed 4:2:0 planes; "
+                        "device-side chroma upsample)")
     p.add_argument("--spec_decode", type=int, default=None,
                    help="prompt-lookup speculative decode draft length "
                    "(answers are bit-identical to greedy; latency only)")
@@ -64,6 +68,7 @@ def apply_knobs(args):
         "STC_PRUNE_STRATEGY": {"full_tokens": "none"}.get(
             args.prune_strategy, args.prune_strategy),
         "STC_SPEC_DECODE_DRAFT": args.spec_decode,
+        "STC_INGEST_FORMAT": args.ingest,
     }
     for k, v in env.items():
         if v is not None:

@@ -131,6 +131,8 @@ def main():
           f"{st.encode_chunks} chunks, {st.answers} answers, "
           f"{st.streams_retired} retired / {st.streams_admitted} admitted")
     print(f"per-slot chunks {st.slot_chunks} answers {st.slot_answers}")
+    if eng.route_decisions:
+        print(f"serve routing settled: {eng.route_decisions}")
     assert st.answers >= answered and st.encode_chunks > 0
 
 

@@ -302,4 +302,5 @@ class SessionConfig:
         )
         return cls(rekv=rekv, cacher=cacher, pruner=pruner,
                    encode_chunk_frames=chunk_frames,
-                   weights_quant=os.getenv("STC_WEIGHTS_QUANT", "none"))
+                   weights_quant=os.getenv("STC_WEIGHTS_QUANT", "none"),
+                   ingest_format=os.getenv("STC_INGEST_FORMAT", "rgb"))

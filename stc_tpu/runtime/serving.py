@@ -140,6 +140,13 @@ class ServingEngine:
         return (sum(len(q) for q in self._chunks)
                 + sum(len(q) for q in self._questions))
 
+    @property
+    def route_decisions(self) -> Dict:
+        """Measured-cost routing decisions the session has settled so far
+        ({dispatch-shape key: 'fused'|'unfused'} — see session._ServeRouter);
+        empty while probing or when STC_SERVE_ROUTE pins the route."""
+        return dict(self.sess._serve_router.decisions)
+
     # ------------------------------------------------------------------ #
     def step(self) -> Dict[int, Dict[str, Any]]:
         """One scheduler tick: drain <= 1 chunk and <= 1 question per slot.
