@@ -130,3 +130,36 @@ def test_yuv_session_end_to_end_answers_match_rgb():
             assert staged.ndim == 2  # packed, half the bytes of raw RGB
         s.encode_video(staged)
     assert answers["yuv420"] == answers["rgb"]
+
+
+def test_yuv_on_clip_backbone():
+    """The CLIP-tower family (LongVA/Video-LLaVA/Flash-VStream share the
+    preprocessor) ingests packed 4:2:0 planes through the same device-side
+    reconstruction."""
+    import dataclasses
+    import jax
+    from stc_tpu.models import longva as lv
+
+    cfg = lv.LongVAConfig.tiny()
+    tpf = cfg.tokens_per_frame
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=256, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=128,
+                        max_prompt_tokens=32, max_new_tokens=8),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="none", token_per_frame=tpf),
+        encode_chunk_frames=1)
+    params = lv.init_random_params(cfg, jax.random.key(0))
+    frames = _smooth_frames(4, 56, 56, seed=5)
+    answers = {}
+    for fmt in ("rgb", "yuv420"):
+        sc = dataclasses.replace(scfg, ingest_format=fmt)
+        s = lv.LongVASession(params, cfg, sc, state_dtype=jnp.float32)
+        s.encode_init_prompt([1, 2, 3, 4])
+        s.encode_video(frames)
+        assert int(np.asarray(s.kvs.num_blocks)[0, 0]) == 4
+        answers[fmt] = s.question_answering([5, 6], [5, 6, 7],
+                                            stop_token_ids=[0],
+                                            max_new_tokens=4)
+    assert answers["yuv420"] == answers["rgb"]
