@@ -35,6 +35,54 @@ from stc_tpu.kvcache.engine import (
 from stc_tpu.kvcache.state import DecodeKV, StreamKV
 
 
+def _tree_index(tree, i):
+    """Slice layer i out of a layer-stacked pytree (leaves (L, ...))."""
+    return jax.tree.map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+        tree)
+
+
+def _tree_update(tree, upd, i):
+    """Write layer i's update back into the layer-stacked pytree."""
+    return jax.tree.map(
+        lambda s, u: jax.lax.dynamic_update_index_in_dim(s, u, i, 0),
+        tree, upd)
+
+
+def scan_layers(body, h, layer_params, rw_state, ro_states=()):
+    """lax.scan over the stacked layer axis with the layer STATE IN THE
+    CARRY (read via dynamic-slice, written back via dynamic-update-slice)
+    instead of the xs->ys formulation.
+
+    Why: scanning state through xs and restacking the per-layer outputs as
+    ys makes XLA materialize a SECOND full-size state buffer (plus copies —
+    measured three full page-store copies per encode step, ~4.5 GB at 0.5b
+    shapes, the dominant term in ROOFLINE.json's bytes_accessed).  With the
+    state in the carry, the scan-carried buffer is updated in place on TPU
+    (the standard KV-cache pattern), so a step's state traffic shrinks to
+    one read + one write of the touched layer slice.
+
+    body: (h, (lp, *ro_layer, rw_layer)) -> (h, rw_layer) — the exact
+    signature the xs-style scans used, so the shared layer bodies
+    (qa_retrieve_layer_body, decode_layer_body, and the pipeline-parallel
+    stages) are unchanged.  ro_states: read-only layer-stacked trees
+    (sliced per layer, never written).  Returns (h, rw_state).
+    """
+    L = jax.tree.leaves(layer_params)[0].shape[0]
+
+    def wrapped(carry, xs):
+        h, rw = carry
+        i, lp = xs
+        ro_l = tuple(_tree_index(t, i) for t in ro_states)
+        h, rw_l = body(h, (lp, *ro_l, _tree_index(rw, i)))
+        return (h, _tree_update(rw, rw_l, i)), None
+
+    (h, rw_state), _ = jax.lax.scan(
+        wrapped, (h, rw_state),
+        (jnp.arange(L, dtype=jnp.int32), layer_params))
+    return h, rw_state
+
+
 @dataclasses.dataclass(frozen=True)
 class Qwen2Config:
     vocab_size: int = 151936
@@ -298,7 +346,7 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         h = h + _mlp(lp, hn, cfg)
         return h, kv
 
-    h, kvs = jax.lax.scan(body, embeds, (params["layers"], kvs))
+    h, kvs = scan_layers(body, embeds, params["layers"], kvs)
     return h, kvs
 
 
@@ -357,7 +405,8 @@ def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         q_valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_tokens[:, None]
 
     body = qa_retrieve_layer_body(cfg, rekv, q_valid, retrieved_indices, T)
-    _, dkvs = jax.lax.scan(body, embeds, (params["layers"], kvs, dkvs))
+    _, dkvs = scan_layers(body, embeds, params["layers"], dkvs,
+                          ro_states=(kvs,))
     return dkvs
 
 
@@ -403,8 +452,23 @@ def qa_retrieve_hosttier_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
         h = h + _mlp(lp, hn, cfg)
         return h, (dkv, abs_idx, exists, missing)
 
-    _, (dkvs, abs_idx, exists, missing) = jax.lax.scan(
-        body, embeds, (params["layers"], kvs, dkvs, hp_k, hp_v, hp_ids))
+    # decode cache in the CARRY (in-place, see scan_layers); the small
+    # per-layer index/flag arrays stay ys
+    L = jax.tree.leaves(params["layers"])[0].shape[0]
+
+    def wrapped(carry, xs):
+        h, dkv_all = carry
+        i, lp = xs
+        kv_l, hk_l, hv_l, hi_l = (_tree_index(t, i)
+                                  for t in (kvs, hp_k, hp_v, hp_ids))
+        h, (dkv_l, abs_idx, exists, missing) = body(
+            h, (lp, kv_l, _tree_index(dkv_all, i), hk_l, hv_l, hi_l))
+        return (h, _tree_update(dkv_all, dkv_l, i)), (abs_idx, exists,
+                                                      missing)
+
+    (_, dkvs), (abs_idx, exists, missing) = jax.lax.scan(
+        wrapped, (embeds, dkvs),
+        (jnp.arange(L, dtype=jnp.int32), params["layers"]))
     return dkvs, abs_idx, exists, missing
 
 
@@ -489,7 +553,7 @@ def decode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
     n_tokens = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (B,))
 
     body = decode_layer_body(cfg, rekv, n_tokens, T)
-    h, dkvs = jax.lax.scan(body, embeds, (params["layers"], dkvs))
+    h, dkvs = scan_layers(body, embeds, params["layers"], dkvs)
     h = rms_norm(h, params["norm_f"], cfg.rms_eps)
     logits = _lm_head(params, h)
     return logits, dkvs

@@ -45,7 +45,8 @@ from jax.sharding import PartitionSpec as P
 from stc_tpu.config import ReKVConfig
 from stc_tpu.kvcache.engine import append_stream, make_rope_cache
 from stc_tpu.kvcache.state import StreamKV
-from stc_tpu.models.qwen2 import Qwen2Config, _mlp, _proj_out, _qkv, rms_norm
+from stc_tpu.models.qwen2 import (Qwen2Config, _mlp, _proj_out, _qkv,
+                                  rms_norm, scan_layers)
 
 
 def pp_layer_specs(layers_params) -> dict:
@@ -205,7 +206,7 @@ def pp_encode_step(
                 h = h + _mlp(lp_l, hn, cfg)
                 return h, kv_l
 
-            h_out, kv = jax.lax.scan(body, h, (lp, kv))
+            h_out, kv = scan_layers(body, h, lp, kv)
             # collect the last stage's finished microbatch
             keep = (is_last & valid)
             out = out.at[mb_c].set(jnp.where(keep, h_out, out[mb_c]))
@@ -283,7 +284,7 @@ def pp_encode_init(layers_params, cfg: Qwen2Config, rekv: ReKVConfig,
             return h, kv_l
 
         def local_fn(h, kv_):
-            return jax.lax.scan(body, h, (lp, kv_))
+            return scan_layers(body, h, lp, kv_)
 
         kv, h = _pipe(pp, s, local_fn, embeds, kv, mask_bubbles=mask)
         return h, kv
@@ -346,7 +347,7 @@ def pp_answer_question(params, kvs: StreamKV, q_ids: jax.Array,
 
         def local_ret(h, st):
             kv_, dkv_ = st
-            h, dkv_ = jax.lax.scan(rbody, h, (lp, kv_, dkv_))
+            h, dkv_ = scan_layers(rbody, h, lp, dkv_, ro_states=(kv_,))
             return h, (kv_, dkv_)
 
         (kv, dkv), _ = _pipe(pp, s, local_ret, embed_tokens(top, q_ids),
@@ -356,7 +357,7 @@ def pp_answer_question(params, kvs: StreamKV, q_ids: jax.Array,
         pbody = decode_layer_body(cfg, rekv, p_len, Tp)
 
         def local_pre(h, dkv_):
-            return jax.lax.scan(pbody, h, (lp, dkv_))
+            return scan_layers(pbody, h, lp, dkv_)
 
         dkv, h_fin = _pipe(pp, s, local_pre, embed_tokens(top, p_ids), dkv,
                            mask_bubbles=mask)
@@ -369,7 +370,7 @@ def pp_answer_question(params, kvs: StreamKV, q_ids: jax.Array,
         dbody = decode_layer_body(cfg, rekv, jnp.ones((B,), jnp.int32), 1)
 
         def local_dec(h, dkv_):
-            return jax.lax.scan(dbody, h, (lp, dkv_))
+            return scan_layers(dbody, h, lp, dkv_)
 
         def is_stop(tok):
             return jnp.any(tok[:, None] == stop_ids[None, :], axis=1)
