@@ -596,12 +596,16 @@ def main():
     elif mode == "multistream_staged":
         fps, label = autotune_multistream(staged=True)
         ncpu = os.cpu_count()
+        routed = "threaded overlap" if (ncpu or 1) >= 2 else (
+            "synchronous (prefetch thread would contend with the "
+            "dispatch thread for the only core)")
         print(json.dumps({
             "metric": f"aggregate ingest fps, 4 streams, {label}, STAGED "
-                      "double-buffered transfer path "
-                      "(FramePrefetcher+stage_chunk; "
-                      f"host has {ncpu} core(s) — needs >=2 to overlap, on "
-                      "1-core hosts the synchronous path wins)",
+                      "transfer path (FramePrefetcher+stage_chunk) with "
+                      "core-count ROUTING: the prefetcher overlaps on "
+                      "multi-core hosts and degrades to synchronous "
+                      f"staging otherwise; this {ncpu}-core host routed to "
+                      f"{routed}",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),

@@ -424,8 +424,12 @@ def append_stream(
         block_k_scale = _masked(_wr, kv.block_k_scale, k_sc, slot, 2)
         block_v_scale = _masked(_wr, kv.block_v_scale, v_sc, slot, 2)
     else:
-        block_k = _masked(_wr, kv.block_k, k_pages, slot, 2)
-        block_v = _masked(_wr, kv.block_v, v_pages, slot, 2)
+        # round into the store's declared dtype (state_dtype): a body
+        # computing in f32 over a bf16 store must narrow at the boundary
+        block_k = _masked(_wr, kv.block_k,
+                          k_pages.astype(kv.block_k.dtype), slot, 2)
+        block_v = _masked(_wr, kv.block_v,
+                          v_pages.astype(kv.block_v.dtype), slot, 2)
         block_k_scale = kv.block_k_scale
         block_v_scale = kv.block_v_scale
     # one representative mean key per page (reference _append_global)

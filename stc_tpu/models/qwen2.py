@@ -43,9 +43,16 @@ def _tree_index(tree, i):
 
 
 def _tree_update(tree, upd, i):
-    """Write layer i's update back into the layer-stacked pytree."""
+    """Write layer i's update back into the layer-stacked pytree.
+
+    The update is cast to the state leaf's dtype: the stacked state's dtype
+    is declared at init (build_session's state_dtype) and a body computing
+    in a wider dtype (f32 params over a bf16 store) must round back into
+    the store, not silently widen it (the old xs->ys scan re-stacked the
+    body outputs and so adopted the BODY's dtype — a store-dtype leak)."""
     return jax.tree.map(
-        lambda s, u: jax.lax.dynamic_update_index_in_dim(s, u, i, 0),
+        lambda s, u: jax.lax.dynamic_update_index_in_dim(
+            s, u.astype(s.dtype) if hasattr(u, "astype") else u, i, 0),
         tree, upd)
 
 

@@ -12,11 +12,21 @@ dumps so the pipeline runs in containers without video codecs.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np
+
+
+def _can_overlap() -> bool:
+    """A prefetch thread only helps when a core is free to run it; on a
+    single-core host it contends with the dispatching thread for the GIL
+    and the CPU and measurably LOSES to synchronous staging (PLATFORM_NOTES
+    staged-vs-sync numbers).  Routed the same way serve ticks route
+    fused-vs-unfused: act on the host we actually have."""
+    return (os.cpu_count() or 1) >= 2
 
 
 class FramePrefetcher:
@@ -25,12 +35,23 @@ class FramePrefetcher:
     chunks: iterable of (n, H, W, 3) uint8 arrays.
     preprocess: host-side fn chunk -> model input (numpy or device array).
     depth: max prefetched chunks (double buffering by default).
+    overlap: True/False pins the threaded path; None (default) routes on
+        the host's core count — single-core hosts iterate synchronously
+        (same outputs, no thread).  STC_PREFETCH_OVERLAP=0/1 overrides.
     """
 
     _SENTINEL = object()
 
     def __init__(self, chunks: Iterable[np.ndarray],
-                 preprocess: Callable, depth: int = 2):
+                 preprocess: Callable, depth: int = 2,
+                 overlap: Optional[bool] = None):
+        env = os.getenv("STC_PREFETCH_OVERLAP")
+        if overlap is None:
+            overlap = _can_overlap() if env is None else env not in ("0", "")
+        self._overlap = bool(overlap)
+        if not self._overlap:  # synchronous passthrough (1-core hosts)
+            self._chunks, self._pre = chunks, preprocess
+            return
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
 
@@ -47,6 +68,10 @@ class FramePrefetcher:
         self._t.start()
 
     def __iter__(self) -> Iterator:
+        if not self._overlap:
+            for c in self._chunks:
+                yield self._pre(c)
+            return
         while True:
             item = self._q.get()
             if item is self._SENTINEL:

@@ -61,6 +61,24 @@ def test_frame_prefetcher_order_and_errors():
         list(FramePrefetcher(iter(chunks), bad))
 
 
+def test_frame_prefetcher_core_count_routing():
+    """Both routed arms produce identical ordered outputs, and the
+    single-core route really is threadless (no queue is built)."""
+    chunks = [np.full((1, 2, 2, 3), i, np.uint8) for i in range(5)]
+    pre = lambda c: int(c[0, 0, 0, 0])
+    sync = FramePrefetcher(iter(chunks), pre, overlap=False)
+    assert not hasattr(sync, "_t")  # no thread spawned
+    assert list(sync) == [0, 1, 2, 3, 4]
+    threaded = FramePrefetcher(iter(chunks), pre, overlap=True)
+    assert hasattr(threaded, "_t")
+    assert list(threaded) == [0, 1, 2, 3, 4]
+    # errors propagate on the synchronous route too
+    def bad(c):
+        raise ValueError("boom")
+    with pytest.raises(ValueError):
+        list(FramePrefetcher(iter(chunks), bad, overlap=False))
+
+
 def test_session_uses_native_preprocessor():
     """VLM sessions accept uint8 frames through the native path end to end."""
     import jax
