@@ -211,3 +211,35 @@ def test_cacher_flops_saving_is_real():
     # a few percent here; at production shapes (27-layer SigLIP, 25% ratio)
     # the tower itself drops ~60% of its FLOPs
     assert part < 0.95 * full, (part, full)
+
+
+def test_mixed_dtype_session_narrows_into_the_store():
+    """f32 params over a bf16 KV store: the stream and decode caches keep
+    their DECLARED state_dtype across the full session loop (the scan-carry
+    formulation crashes on dtype mismatch unless writes round into the
+    store at the boundary; the old xs->ys scan silently widened the store
+    instead — a state-dtype leak either way)."""
+    cfg = lo.LlavaOVConfig.tiny()
+    tpf = 3
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=128, block_size=tpf,
+                        exc_block_size=tpf, topk=4, max_blocks=64,
+                        max_prompt_tokens=32, max_new_tokens=8),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=tpf),
+    )
+    params = lo.init_random_params(cfg, jax.random.key(0))  # f32
+    sess = lo.build_session(params, cfg, scfg, state_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    sess.encode_init_prompt([1, 2, 3, 4])
+    frames = rng.integers(0, 256, size=(4, 56, 56, 3), dtype=np.uint8)
+    for f in range(4):  # covers the full AND the cached vision path
+        sess.encode_video(frames[f:f + 1])
+    assert sess.kvs.block_k.dtype == jnp.bfloat16
+    assert sess.kvs.init_k.dtype == jnp.bfloat16
+    out = sess.question_answering([7, 8, 9], [7, 8, 9, 10],
+                                  stop_token_ids=[0], max_new_tokens=4)
+    assert len(out) >= 1
+    assert np.isfinite(np.asarray(sess.kvs.block_rep,
+                                  dtype=np.float32)).all()
