@@ -56,7 +56,8 @@ def _tree_update(tree, upd, i):
         tree, upd)
 
 
-def scan_layers(body, h, layer_params, rw_state, ro_states=()):
+def scan_layers(body, h, layer_params, rw_state, ro_states=(),
+                unroll: bool = False):
     """lax.scan over the stacked layer axis with the layer STATE IN THE
     CARRY (read via dynamic-slice, written back via dynamic-update-slice)
     instead of the xs->ys formulation.
@@ -74,8 +75,30 @@ def scan_layers(body, h, layer_params, rw_state, ro_states=()):
     (qa_retrieve_layer_body, decode_layer_body, and the pipeline-parallel
     stages) are unchanged.  ro_states: read-only layer-stacked trees
     (sliced per layer, never written).  Returns (h, rw_state).
+
+    unroll=True emits the L layer bodies as straight-line HLO instead of a
+    while loop (static python loop, static slicing).  Use when the scan
+    shares a program with ANOTHER loop that touches the same stacked state:
+    each while loop makes XLA's layout assignment pick one "loop layout"
+    for everything in its carry/captures, and two loops can pick
+    DIFFERENT layouts for the same store, materializing full-store
+    relayout copies between them (the fused serve tick paid ~6 copies
+    ~9 GB this way — see docs/serving.md).  Straight-line bodies read the
+    store in whatever layout its producer chose, no copies.
     """
     L = jax.tree.leaves(layer_params)[0].shape[0]
+
+    if unroll:
+        for i in range(L):
+            lp = jax.tree.map(lambda x: x[i], layer_params)
+            ro_l = tuple(jax.tree.map(lambda x: x[i], t) for t in ro_states)
+            rw_l = jax.tree.map(lambda x: x[i], rw_state)
+            h, rw_l = body(h, (lp, *ro_l, rw_l))
+            rw_state = jax.tree.map(
+                lambda s, u: s.at[i].set(u.astype(s.dtype)
+                                         if hasattr(u, "astype") else u),
+                rw_state, rw_l)
+        return h, rw_state
 
     def wrapped(carry, xs):
         h, rw = carry
@@ -396,7 +419,8 @@ def qa_retrieve_layer_body(cfg: Qwen2Config, rekv: ReKVConfig,
 def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
                      kvs: StreamKV, dkvs: DecodeKV, embeds: jax.Array,
                      n_tokens: jax.Array | None = None,
-                     retrieved_indices: jax.Array | None = None) -> DecodeKV:
+                     retrieved_indices: jax.Array | None = None,
+                     unroll_layers: bool = False) -> DecodeKV:
     """Question forward with per-layer retrieval; installs the retrieved
     prefix into the decode cache.
 
@@ -413,7 +437,7 @@ def qa_retrieve_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 
     body = qa_retrieve_layer_body(cfg, rekv, q_valid, retrieved_indices, T)
     _, dkvs = scan_layers(body, embeds, params["layers"], dkvs,
-                          ro_states=(kvs,))
+                          ro_states=(kvs,), unroll=unroll_layers)
     return dkvs
 
 
@@ -591,7 +615,8 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
                     kvs: StreamKV, q_ids: jax.Array, q_len: jax.Array,
                     p_ids: jax.Array, p_len: jax.Array,
                     stop_ids: jax.Array, max_new_tokens: int,
-                    hist_ids=None, hist_len=None):
+                    hist_ids=None, hist_len=None,
+                    unroll_retrieve: bool = False):
     """Whole QA in ONE dispatch: retrieval forward + prompt prefill + greedy
     decode (sequential host round trips cost ~30ms each on this platform).
 
@@ -600,7 +625,8 @@ def answer_question(params, cfg: Qwen2Config, rekv: ReKVConfig,
     B = q_ids.shape[0]
     dkvs = init_decode_state(cfg, rekv, B, kvs.init_k.dtype)
     dkvs = qa_retrieve_step(params, cfg, rekv, kvs, dkvs,
-                            embed_tokens(params, q_ids), n_tokens=q_len)
+                            embed_tokens(params, q_ids), n_tokens=q_len,
+                            unroll_layers=unroll_retrieve)
     logits, dkvs = decode_step(params, cfg, rekv, dkvs,
                                embed_tokens(params, p_ids), p_len)
     last = jnp.take_along_axis(logits, (p_len - 1)[:, None, None],
@@ -635,9 +661,14 @@ def serve_step(params, cfg: Qwen2Config, rekv: ReKVConfig, kvs: StreamKV,
     _, kvs = encode_step(params, cfg, rekv, kvs, embeds, is_init=False,
                          attn_backend=attn_backend, win_pages=win_pages,
                          active=active)
+    # the retrieval layer scan is UNROLLED here: a second while loop over
+    # the page store makes XLA assign it a different layout than the encode
+    # loop's and pay full-store relayout copies (docs/serving.md); the
+    # straight-line bodies read the store in the encode loop's layout
     tokens, count = answer_question(params, cfg, rekv, kvs, q_ids, q_len,
                                     p_ids, p_len, stop_ids, max_new_tokens,
-                                    hist_ids=hist_ids, hist_len=hist_len)
+                                    hist_ids=hist_ids, hist_len=hist_len,
+                                    unroll_retrieve=True)
     return kvs, tokens, count
 
 
