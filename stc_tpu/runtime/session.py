@@ -666,18 +666,25 @@ class StreamingSession:
         self.scfg = dataclasses.replace(self.scfg, rekv=rc)
         mc = self.mcfg
         # rebuild the programs that bake the draft schedule in; the streaming
-        # encode path is untouched
-        self._greedy = jax.jit(functools.partial(
-            qw.greedy_decode, cfg=mc, rekv=rc),
-            static_argnames=("max_new_tokens",), donate_argnames=("dkvs",))
-        self._answer = jax.jit(functools.partial(
-            qw.answer_question, cfg=mc, rekv=rc),
-            static_argnames=("max_new_tokens",))
-        self._answer_host = jax.jit(functools.partial(
-            qw.answer_question_hosttier, cfg=mc, rekv=rc),
-            static_argnames=("max_new_tokens",))
-        if hasattr(self, "_serve_jit"):
-            del self._serve_jit  # rebuilt lazily against the new rekv
+        # encode path is untouched.  Under pp the QA programs are the
+        # stage-relay pipelines installed by _init_pp — draft is always 0
+        # there (asserted above), so the rekv swap is a no-op for them and
+        # rebuilding would CLOBBER the pp _answer with the sequential
+        # answer_question (whose signature lacks retrieved_indices=, breaking
+        # the pp external-retrieval branch).  Only the history ring below
+        # applies under pp.
+        if self.pp == 1:
+            self._greedy = jax.jit(functools.partial(
+                qw.greedy_decode, cfg=mc, rekv=rc),
+                static_argnames=("max_new_tokens",), donate_argnames=("dkvs",))
+            self._answer = jax.jit(functools.partial(
+                qw.answer_question, cfg=mc, rekv=rc),
+                static_argnames=("max_new_tokens",))
+            self._answer_host = jax.jit(functools.partial(
+                qw.answer_question_hosttier, cfg=mc, rekv=rc),
+                static_argnames=("max_new_tokens",))
+            if hasattr(self, "_serve_jit"):
+                del self._serve_jit  # rebuilt lazily against the new rekv
         H = rc.spec_history_tokens if draft else 0
         if H != self._qa_hist.shape[1]:
             old, old_len = self._qa_hist, self._qa_hist_len

@@ -255,6 +255,67 @@ def test_pp_session_batch_and_external_indices():
     assert e_seq == e_pp
 
 
+def test_pp_set_spec_decode_zero_keeps_pp_answer():
+    """set_spec_decode(draft=0) on a LIVE pp session must not clobber the
+    stage-relay QA pipeline installed by _init_pp with the sequential
+    answer_question (advisor round-4 medium: the pp external-retrieval
+    branch then passed retrieved_indices= to a function without that
+    parameter).  After the toggle, both the hot-path QA and the
+    external-indices QA still answer exactly like the sequential session."""
+    cfg, rekv, seq, pps = _sess_pair(2, n_layers=4, seed=9)
+    rng = np.random.default_rng(13)
+    for s in (seq, pps):
+        s.encode_init_prompt([1, 2, 3, 4])
+        s.encode_video_features(
+            rng.normal(size=(1, 16, cfg.hidden_size)).astype(np.float32))
+        rng = np.random.default_rng(13)
+    pps.set_spec_decode(0)  # no-op toggle must keep the pp programs
+    a_seq = seq.question_answering([5, 6], [7, 8], [0], max_new_tokens=5)
+    a_pp = pps.question_answering([5, 6], [7, 8], [0], max_new_tokens=5)
+    assert a_seq == a_pp
+    # the branch the round-4 bug broke: external indices under pp
+    e_seq = seq.question_answering([5, 6], [8], [0], max_new_tokens=4,
+                                   retrieved_indices=[0, 1])
+    e_pp = pps.question_answering([5, 6], [8], [0], max_new_tokens=4,
+                                  retrieved_indices=[0, 1])
+    assert e_seq == e_pp
+
+
+def test_pp_spec_decode_rejected():
+    """Speculative decode under pp fails fast at BOTH entry points: the
+    live toggle raises, and building a pp session with a drafting config
+    asserts (docs/serving.md documents the limit)."""
+    import dataclasses
+    from stc_tpu.config import SessionConfig
+    from stc_tpu.runtime.session import StreamingSession
+    cfg, rekv, seq, pps = _sess_pair(2, n_layers=4, seed=10)
+    with pytest.raises(ValueError, match="not supported under pp"):
+        pps.set_spec_decode(2)
+    # config-time rejection
+    rekv_spec = dataclasses.replace(rekv, spec_decode_draft=2)
+    params = qw.init_params(cfg, jax.random.key(0))
+    with pytest.raises(AssertionError, match="speculative decode"):
+        StreamingSession(params, cfg, SessionConfig(rekv=rekv_spec),
+                         state_dtype=jnp.float32, mesh=_pp_mesh(2))
+
+
+def test_pp_host_tier_eviction_rejected():
+    """Streaming past max_blocks under pp fails fast with the documented
+    message instead of silently corrupting the two-tier store (the host-tier
+    QA paths are not pp-wired; VERDICT r4 'pp matrix holes')."""
+    cfg, rekv, seq, pps = _sess_pair(2, n_layers=4, seed=11)
+    rng = np.random.default_rng(14)
+    pps.encode_init_prompt([1, 2, 3, 4])
+    # fill the device store to max_blocks (32 blocks of 4 tokens), then one
+    # more chunk would need an eviction
+    n_fill = rekv.max_blocks - pps._total_blocks
+    pps.encode_video_features(rng.normal(
+        size=(1, n_fill * rekv.block_size, cfg.hidden_size)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="not supported under pipeline"):
+        pps.encode_video_features(rng.normal(
+            size=(1, 8, cfg.hidden_size)).astype(np.float32))
+
+
 def test_pp_session_composes_with_tp():
     """pp (manual stage relay) + tp (GSPMD head sharding) in one session
     mesh: answers still equal the single-device sequential session."""
