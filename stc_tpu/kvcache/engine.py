@@ -887,8 +887,13 @@ def decode_write(dkv: DecodeKV, k: jax.Array, v: jax.Array,
     # row-granular write: advanced indices on (batch, slot) dims, KV rows as
     # scatter window (dims Hkv, D) — no elementwise scatter
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    nk = dkv.k.at[bidx, :, slot].set(k_rot.transpose(0, 2, 1, 3))
-    nv = dkv.v.at[bidx, :, slot].set(v.transpose(0, 2, 1, 3))
+    # round into the cache dtype explicitly: mixed-dtype sessions (f32
+    # params over a bf16 cache) would otherwise scatter f32 into bf16 —
+    # a FutureWarning today, an error in future jax releases
+    nk = dkv.k.at[bidx, :, slot].set(
+        k_rot.transpose(0, 2, 1, 3).astype(dkv.k.dtype))
+    nv = dkv.v.at[bidx, :, slot].set(
+        v.transpose(0, 2, 1, 3).astype(dkv.v.dtype))
     n_tokens = jnp.asarray(n_tokens, jnp.int32)
     n_tokens = jnp.broadcast_to(n_tokens, (B,))
     cursor = (jnp.zeros((B,), jnp.int32) if at_start else dkv.cursor) + n_tokens

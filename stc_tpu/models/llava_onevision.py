@@ -187,6 +187,9 @@ class LlavaOVVision(VisionPipeline):
     def device_preprocess(self, pixels):
         return self._pre1.device(pixels)
 
+    def trace_key(self):
+        return self._pre1.src_hw  # yuv420 unpack geometry read at trace time
+
     def init_state(self):
         return (sg.init_cacher_state(self.cfg.vision, self.batch, self.dtype),
                 init_pruner_state(

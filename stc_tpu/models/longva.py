@@ -96,6 +96,9 @@ class LongVAVision(cl.ClipStreamsMixin, VisionPipeline):
     def device_preprocess(self, pixels):
         return self._pre.device(pixels)
 
+    def trace_key(self):
+        return self._pre.src_hw  # yuv420 unpack geometry read at trace time
+
     def init_state(self):
         return cl.init_clip_cacher(self.cfg.vision, self.dtype,
                                    batch=self.batch), ()

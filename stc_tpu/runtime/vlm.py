@@ -43,7 +43,10 @@ class Preprocessor:
         self.dtype = dtype
         self.ingest = ingest
         self._src_hw = None  # (h, w) of packed yuv420 planes, set on host()
-        self._jit = jax.jit(self.device)
+        # device() reads _src_hw at TRACE time, so the jit cache must key on
+        # it: two sources with equal h*w (64x36 then 48x48) would otherwise
+        # silently reuse the first trace's unpack layout (garbled frames)
+        self._jits = {}
 
     def host(self, frames) -> np.ndarray:
         """Stage frames for transfer: uint8 passes through untouched (rgb)
@@ -79,6 +82,10 @@ class Preprocessor:
         traced into the caller's fused jit (the whole conversion rides the
         same dispatch as the vision tower — zero extra host work)."""
         h, w = self._src_hw
+        assert x.shape[1] == h * w * 3 // 2, (
+            f"packed yuv420 length {x.shape[1]} does not match src_hw "
+            f"({h}, {w}) -> {h * w * 3 // 2}; set pre.src_hw to the "
+            "decoder's plane geometry before staging packed planes")
         N = x.shape[0]
         ch, cw = h // 2, w // 2
         y = x[:, : h * w].reshape(N, h, w).astype(jnp.float32)
@@ -92,10 +99,17 @@ class Preprocessor:
         b = y + 1.772 * uf
         return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
-    def device(self, x):
+    def device(self, x, _src_hw=None):
         """Finish preprocessing inside a jit: (N,H,W,3) uint8/float or
         (N, h*w*3//2) packed yuv420 -> (N,3,S,S) normalized `dtype`.
-        Already-preprocessed (N,3,S,S) inputs pass through with a cast."""
+        Already-preprocessed (N,3,S,S) inputs pass through with a cast.
+
+        _src_hw: trace-identity pin for the packed-plane unpack geometry —
+        functools.partial(device, _src_hw=...) hashes the geometry into
+        jax's trace cache (jit wrappers over the SAME bound method with the
+        SAME avals share traces, so a dict of wrappers is not enough)."""
+        if _src_hw is not None:
+            assert _src_hw == self._src_hw, (_src_hw, self._src_hw)
         if x.ndim == 2:  # packed yuv420 planes
             x = self._yuv_to_rgb(x) / 255.0
             return self._normalize(x)
@@ -116,13 +130,18 @@ class Preprocessor:
 
     def __call__(self, frames):
         frames = self.host(frames)
-        if frames.dtype == np.uint8:
+        if frames.dtype == np.uint8 and frames.ndim == 4:
+            # native fast path handles raw RGB only; packed yuv420 planes
+            # (ndim == 2) unpack on device
             from stc_tpu import native
             out = native.preprocess_frames(frames, self.image_size,
                                            self.mean, self.std)
             if out is not None:
                 return jnp.asarray(out, self.dtype)
-        return self._jit(jnp.asarray(frames))
+        if self._src_hw not in self._jits:
+            self._jits[self._src_hw] = jax.jit(functools.partial(
+                self.device, _src_hw=self._src_hw))
+        return self._jits[self._src_hw](jnp.asarray(frames))
 
 
 def make_preprocessor(image_size: int, mean, std, dtype,
@@ -149,6 +168,13 @@ class VisionPipeline:
         """Device half, traced inside the fused frame jit.  Default: the
         staged array is already model input."""
         return pixels
+
+    def trace_key(self):
+        """Hashable host state device_preprocess reads at TRACE time (e.g.
+        the yuv420 source (h, w)).  The session folds it into every frame
+        jit's cache key, so a change retraces instead of silently reusing a
+        stale trace (packed-plane shapes don't encode their geometry)."""
+        return None
 
     def full(self, params, pixels, vstate, pstate):
         """-> (flat_features, vstate, pstate)"""
@@ -261,8 +287,13 @@ class VLMSession(StreamingSession):
                                         active=active)
             return kvs
 
+        # trace_key: unused in the bodies — baked into the jit partials so
+        # host state read at trace time (yuv420 geometry) is part of jax's
+        # trace-cache identity (wrappers over the same function + avals
+        # share traces; the session-level _frame_jits dict alone is not
+        # enough)
         def _frame(params, pixels, kvs, vstate, pstate, active=None, *,
-                   cached, bucket):
+                   cached, bucket, trace_key=None):
             pixels = vision.device_preprocess(pixels)
             path = vision.cached if cached else vision.full
             flat, vstate, pstate = path(params, pixels, vstate, pstate)
@@ -270,7 +301,7 @@ class VLMSession(StreamingSession):
             return kvs, vstate, pstate
 
         def _frame_ragged(params, pixels, kvs, vstate, pstate, active, *,
-                          cached, bucket):
+                          cached, bucket, trace_key=None):
             new_kvs, new_v, new_p = _frame(params, pixels, kvs, vstate,
                                            pstate, active, cached=cached,
                                            bucket=bucket)
@@ -279,7 +310,7 @@ class VLMSession(StreamingSession):
             return new_kvs, new_v, new_p
 
         def _frame_mixed(params, pixels, kvs, vstate, pstate, need_full,
-                         active=None, *, bucket):
+                         active=None, *, bucket, trace_key=None):
             """PER-SLOT cacher schedule tick: slots whose own chunk counter
             lands on a full-compute chunk (fresh/recycled/migrated streams,
             ragged slots at different rates) ride the full path while the
@@ -303,7 +334,8 @@ class VLMSession(StreamingSession):
         def _serve_pixels(params, pixels, kvs, vstate, pstate, active,
                           q_ids, q_len, p_ids, p_len, stop_ids,
                           need_full=None, hist_ids=None, hist_len=None, *,
-                          cached, mixed, bucket, ragged, max_new_tokens):
+                          cached, mixed, bucket, ragged, max_new_tokens,
+                          trace_key=None):
             """Fused PIXEL serving tick: vision tower (+cacher/pruner) +
             ragged KV append + per-stream retrieval QA + greedy decode in
             ONE dispatch — the pixel-path counterpart of
@@ -342,12 +374,14 @@ class VLMSession(StreamingSession):
 
     def _get_frame_jit(self, cached: bool, bucket: int,
                        ragged: bool = False):
-        key = (cached, bucket, ragged)
+        tk = self.vision.trace_key()
+        key = (cached, bucket, ragged, tk)
         if key not in self._frame_jits:
             donate = ("kvs",) if cached else ("kvs", "vstate")
             fn = self._frame_ragged_fn if ragged else self._frame_fn
             self._frame_jits[key] = jax.jit(
-                functools.partial(fn, cached=cached, bucket=bucket),
+                functools.partial(fn, cached=cached, bucket=bucket,
+                                  trace_key=tk),
                 donate_argnames=donate)
         return self._frame_jits[key]
 
@@ -359,21 +393,25 @@ class VLMSession(StreamingSession):
         # expects one fixed max_new_tokens per session — the ServingEngine
         # holds it as an engine-level constant; per-request values would
         # compile-thrash.
-        key = ("serve", cached, mixed, bucket, ragged, max_new_tokens)
+        tk = self.vision.trace_key()
+        key = ("serve", cached, mixed, bucket, ragged, max_new_tokens, tk)
         if key not in self._frame_jits:
             donate = (("kvs",) if (cached or mixed) else ("kvs", "vstate"))
             self._frame_jits[key] = jax.jit(
                 functools.partial(self._serve_pixel_fn, cached=cached,
                                   mixed=mixed, bucket=bucket, ragged=ragged,
-                                  max_new_tokens=max_new_tokens),
+                                  max_new_tokens=max_new_tokens,
+                                  trace_key=tk),
                 donate_argnames=donate)
         return self._frame_jits[key]
 
     def _get_mixed_jit(self, bucket: int):
-        key = ("mixed", bucket)
+        tk = self.vision.trace_key()
+        key = ("mixed", bucket, tk)
         if key not in self._frame_jits:
             self._frame_jits[key] = jax.jit(
-                functools.partial(self._frame_mixed_fn, bucket=bucket),
+                functools.partial(self._frame_mixed_fn, bucket=bucket,
+                                  trace_key=tk),
                 donate_argnames=("kvs",))
         return self._frame_jits[key]
 

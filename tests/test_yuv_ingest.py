@@ -163,3 +163,83 @@ def test_yuv_on_clip_backbone():
                                             stop_token_ids=[0],
                                             max_new_tokens=4)
     assert answers["yuv420"] == answers["rgb"]
+
+
+def test_src_hw_change_retraces_instead_of_reusing_stale_unpack():
+    """Two sources with EQUAL packed length but different geometry (64x36
+    and 48x48 both pack to 3456 bytes/frame) must each unpack with their own
+    (h, w) — the jit cache keys on src_hw, not just the array shape
+    (round-4 advisor finding: the stale trace produced garbled frames)."""
+    from stc_tpu.runtime.vlm import make_preprocessor
+    assert 64 * 36 * 3 // 2 == 48 * 48 * 3 // 2
+    pre = make_preprocessor(28, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5),
+                            jnp.float32, ingest="yuv420")
+
+    outs = {}
+    for (h, w) in ((64, 36), (48, 48)):
+        frames = _smooth_frames(2, h, w, seed=h)
+        packed = pre.host(frames)     # sets src_hw from the RGB chunk
+        assert pre.src_hw == (h, w)
+        outs[(h, w)] = np.asarray(pre(packed))
+
+        # oracle: a FRESH preprocessor (no cache to go stale) on the same
+        # packed planes
+        fresh = make_preprocessor(28, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5),
+                                  jnp.float32, ingest="yuv420")
+        fresh.src_hw = (h, w)
+        np.testing.assert_array_equal(outs[(h, w)], np.asarray(fresh(packed)))
+
+    # and a mismatched src_hw fails loudly instead of garbling
+    pre.src_hw = (64, 36)
+    bad = np.zeros((2, 100), dtype=np.uint8)
+    import pytest
+    with pytest.raises(AssertionError, match="does not match src_hw"):
+        pre(bad)
+
+
+def test_session_jit_keys_include_vision_trace_key():
+    """A VLM session whose yuv420 source geometry changes between chunks
+    must retrace the fused frame jit (equal packed lengths would otherwise
+    hit the stale-cache path end to end)."""
+    import jax
+    from stc_tpu.models import llava_onevision as lo
+    from stc_tpu.models import qwen2 as qw
+    from stc_tpu.models import siglip as sg
+    cfg = lo.LlavaOVConfig(vision=sg.SiglipConfig.tiny(),
+                           text=qw.Qwen2Config.tiny())
+    params = lo.init_random_params(cfg, jax.random.key(0))
+    KEEP = 3
+    scfg = SessionConfig(
+        rekv=ReKVConfig(n_init=4, n_local=96, block_size=KEEP,
+                        exc_block_size=KEEP, topk=2, chunk_size=1,
+                        max_blocks=64, max_prompt_tokens=8,
+                        max_new_tokens=6),
+        cacher=CacherConfig(strategy="cacher", update_token_ratio=0.5,
+                            cache_interval=2),
+        pruner=PrunerConfig(strategy="stc", token_per_frame=KEEP),
+        encode_chunk_frames=1, ingest_format="yuv420")
+    s = lo.build_session(params, cfg, scfg, state_dtype=jnp.float32,
+                         vision_dtype=jnp.float32)
+    s.encode_init_prompt(list(range(s.rekv.n_init)))
+    s.encode_video(_smooth_frames(1, 64, 36, seed=1))
+    keys_before = set(s._frame_jits)
+    s.encode_video(_smooth_frames(1, 48, 48, seed=2))
+    keys_after = set(s._frame_jits)
+    assert keys_after != keys_before, (
+        "second geometry must compile its own frame jit")
+    ans = s.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
+                               max_new_tokens=6)
+
+    # value oracle: the rgb-ingest session on the same frames must answer
+    # identically (a stale 64x36 unpack trace applied to 48x48 planes
+    # garbles the second chunk's pixels and flips the answer)
+    import dataclasses
+    s2 = lo.build_session(params, cfg,
+                          dataclasses.replace(scfg, ingest_format="rgb"),
+                          state_dtype=jnp.float32, vision_dtype=jnp.float32)
+    s2.encode_init_prompt(list(range(s2.rekv.n_init)))
+    s2.encode_video(_smooth_frames(1, 64, 36, seed=1))
+    s2.encode_video(_smooth_frames(1, 48, 48, seed=2))
+    ans_rgb = s2.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
+                                    max_new_tokens=6)
+    assert ans == ans_rgb
