@@ -869,13 +869,20 @@ def compress_retrieved(kv: StreamKV, cfg: ReKVConfig, ret_k, ret_v,
 
 def decode_write(dkv: DecodeKV, k: jax.Array, v: jax.Array,
                  n_tokens, *, rope_base: float = 10000.0,
-                 at_start: bool = False) -> DecodeKV:
+                 at_start: bool = False, raw_rows: int = 0) -> DecodeKV:
     """Write T tokens at the cursor; keys are rotated at their slot position.
 
     k/v: (B, Hkv, T, D) unrotated.  n_tokens: (B,) true count (<= T); padded
     tail tokens are written past the advanced cursor and get overwritten later.
     If at_start, the write begins at slot 0 and the cursor is RESET to
     n_tokens (used to install the retrieved prefix).
+
+    raw_rows: slots below this index store keys UNROTATED (decode_attend's
+    complement-window init stage scores the raw init keys exactly as the
+    reference does, rekv_attention.py:408 — inverse-rotating an
+    already-rounded bf16 key would double-round).  Pass n_init at the
+    at_start prefix install when decode_cap > n_local; decode_attend then
+    rotates those rows on the fly for its window stage.
     """
     B, Hkv, T, D = k.shape
     C = dkv.k.shape[2]
@@ -883,6 +890,9 @@ def decode_write(dkv: DecodeKV, k: jax.Array, v: jax.Array,
     slot = start[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
     slot = jnp.minimum(slot, C - 1)
     k_rot = apply_rope(k, slot[:, None, :], rope_base)
+    if raw_rows:
+        keep_raw = (slot < raw_rows)[:, None, :, None]               # (B,1,T,1)
+        k_rot = jnp.where(keep_raw, k, k_rot)
 
     # row-granular write: advanced indices on (batch, slot) dims, KV rows as
     # scatter window (dims Hkv, D) — no elementwise scatter
@@ -938,15 +948,20 @@ def decode_attend(q: jax.Array, q_slots: jax.Array, dkv: DecodeKV,
     dist = q_slots[:, :, None] - slot_pos[:, None, :]                # (B, T, C)
     mask = (dist >= 0) & (dist < cfg.n_local)
     mask = mask & (slot_pos < dkv.cursor[:, None])[:, None, :]       # valid slots
-    stages = [AttnStage(dkv.k, dkv.v, mask[:, None, :, :])]
+    k_win = dkv.k
     if init_stage:
         nI = cfg.n_init
         init_pos = jnp.arange(nI, dtype=jnp.int32)
-        # decode_write stored the init keys rotated at slots 0..n_init-1;
-        # the init stage scores them UNROTATED (reference init_h_k = raw
-        # h_k[:, :, :n_init]) — recover by exact inverse rotation
+        # slots 0..n_init-1 hold the RAW init keys (decode_write raw_rows):
+        # the init stage scores them exactly as the reference does
+        # (rekv_attention.py:408 uses never-rotated init_h_k); the window
+        # stage rotates them on the fly here (nI rows, negligible)
         cos_i, sin_i = rope_cos_sin(init_pos, D, rope_base)
-        k_init = _rot(dkv.k[:, :, :nI], cos_i, -sin_i)
+        k_win = jnp.concatenate(
+            [_rot(dkv.k[:, :, :nI], cos_i, sin_i), dkv.k[:, :, nI:]], axis=2)
+    stages = [AttnStage(k_win, dkv.v, mask[:, None, :, :])]
+    if init_stage:
+        k_init = dkv.k[:, :, :nI]
         one = jnp.asarray(cfg.n_local - 1, jnp.int32)
         cos1, sin1 = rope_cos_sin(one, D, rope_base)
         q_one = _rot(q, cos1, sin1)

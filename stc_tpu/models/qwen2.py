@@ -384,6 +384,16 @@ def encode_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
 # Question answering: retrieval forward + prompt prefill + decode
 # ---------------------------------------------------------------------------
 
+def _raw_rows(rekv: ReKVConfig) -> int:
+    """Prefix rows decode_write stores UNROTATED: the init tokens, when the
+    complement-window init stage can engage (decode_cap > n_local).  The
+    stage then scores the raw init keys exactly as the reference does
+    (rekv_attention.py:408) — inverse-rotating bf16-rounded keys would
+    double-round.  Standard configs (decode_cap <= n_local) return 0 and
+    compile the unchanged path."""
+    return rekv.n_init if rekv.decode_cap > rekv.n_local else 0
+
+
 def qa_retrieve_layer_body(cfg: Qwen2Config, rekv: ReKVConfig,
                            q_valid: jax.Array | None,
                            retrieved_indices: jax.Array | None, T: int):
@@ -402,7 +412,7 @@ def qa_retrieve_layer_body(cfg: Qwen2Config, rekv: ReKVConfig,
             ret_k, ret_v, valid_len = compress_retrieved(
                 kv, rekv, ret_k, ret_v, valid_len)
         dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
-                           rope_base=cfg.rope_base)
+                           rope_base=cfg.rope_base, raw_rows=_raw_rows(rekv))
         # write question KV for this forward only; cursor reset afterwards
         dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)
         q_slots = valid_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -473,7 +483,7 @@ def qa_retrieve_hosttier_step(params, cfg: Qwen2Config, rekv: ReKVConfig,
             ret_k, ret_v, valid_len = compress_retrieved(
                 kv, rekv, ret_k, ret_v, valid_len)
         dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
-                           rope_base=cfg.rope_base)
+                           rope_base=cfg.rope_base, raw_rows=_raw_rows(rekv))
         dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)
         q_slots = valid_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         o = decode_attend(q, q_slots, dkv_q, rekv, rope_base=cfg.rope_base)
@@ -717,7 +727,7 @@ def qa_layer_attend(lp, cfg: Qwen2Config, rekv: ReKVConfig, kv_l: StreamKV,
 
     dkv = init_decode_kv(rekv, B, Hkv, D, dtype=kv_l.init_k.dtype)
     dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
-                       rope_base=cfg.rope_base)
+                       rope_base=cfg.rope_base, raw_rows=_raw_rows(rekv))
     dkv_q = decode_write(dkv, k, v, T, rope_base=cfg.rope_base)
     q_slots = valid_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     o = decode_attend(q, q_slots, dkv_q, rekv, rope_base=cfg.rope_base)

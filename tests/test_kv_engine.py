@@ -253,7 +253,9 @@ def test_qa_attention_matches_oracle(n_appends):
 
     ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q), cfg)
     dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
-    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                       raw_rows=(cfg.n_init if cfg.decode_cap
+                                 > cfg.n_local else 0))
     dkv = decode_write(dkv, jnp.asarray(qk), jnp.asarray(qv), Lq)
     q_slots = valid_len[:, None] + jnp.arange(Lq)[None, :]
     got = np.asarray(decode_attend(jnp.asarray(q), q_slots, dkv, cfg))[0]
@@ -277,14 +279,18 @@ def test_multi_turn_decode_positions_consistent():
 
     # one-shot
     dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
-    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                       raw_rows=(cfg.n_init if cfg.decode_cap
+                                 > cfg.n_local else 0))
     dkv = decode_write(dkv, jnp.asarray(qk), jnp.asarray(qv), Lq)
     q_slots = valid_len[:, None] + jnp.arange(Lq)[None, :]
     oneshot = np.asarray(decode_attend(jnp.asarray(q), q_slots, dkv, cfg))[0]
 
     # token-by-token
     dkv2 = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
-    dkv2 = decode_write(dkv2, ret_k, ret_v, valid_len, at_start=True)
+    dkv2 = decode_write(dkv2, ret_k, ret_v, valid_len, at_start=True,
+                        raw_rows=(cfg.n_init if cfg.decode_cap
+                                  > cfg.n_local else 0))
     steps = []
     for t in range(Lq):
         dkv2 = decode_write(dkv2, jnp.asarray(qk[:, :, t:t + 1]),
@@ -294,3 +300,79 @@ def test_multi_turn_decode_positions_consistent():
         steps.append(np.asarray(o)[0, :, 0])
     stepped = np.stack(steps, axis=1)
     np.testing.assert_allclose(stepped, oneshot, rtol=2e-4, atol=2e-4)
+
+
+def test_init_stage_scores_raw_bf16_keys_exactly():
+    """bf16 decode caches in the len_k > n_local branch: the complement-
+    window init stage must score the ONCE-rounded raw init keys, exactly as
+    the reference scores its never-rotated init_h_k (rekv_attention.py:408).
+    The old inverse-rotation recovery double-rounded (round -> rotate ->
+    round -> inverse-rotate); now the prefix install stores the init rows
+    raw (decode_write raw_rows) so the stage reads them bit-exactly."""
+    from stc_tpu.kvcache.engine import rope_cos_sin, _rot
+
+    cfg = ReKVConfig(n_init=4, n_local=24, block_size=8, exc_block_size=8,
+                     topk=4, chunk_size=1, max_blocks=64,
+                     max_prompt_tokens=16, max_new_tokens=8)
+    assert cfg.decode_cap > cfg.n_local
+    rng = np.random.default_rng(3)
+    # a prefix of [init | four retrieved blocks] and a query far past
+    # n_local
+    nI, S = cfg.n_init, cfg.block_size
+    nP = nI + 4 * S  # 36 slots: the query's window slides past init
+    pre_k = rng.normal(size=(1, HKV, nP, D)).astype(np.float32)
+    pre_v = rng.normal(size=(1, HKV, nP, D)).astype(np.float32)
+    valid = jnp.asarray([nP], jnp.int32)
+    dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.bfloat16)
+    dkv = decode_write(dkv, jnp.asarray(pre_k), jnp.asarray(pre_v), valid,
+                       at_start=True, raw_rows=nI)
+
+    # the stored init rows must BE the once-rounded raw keys
+    stored = np.asarray(dkv.k[:, :, :nI].astype(jnp.float32))
+    want = np.asarray(jnp.asarray(pre_k[:, :, :nI]).astype(jnp.bfloat16)
+                      .astype(jnp.float32))
+    np.testing.assert_array_equal(stored, want)
+
+    # and a query whose window slid past init attends them via the init
+    # stage: compare against a dense f32 oracle built from the raw bf16
+    # keys (one-angle query at n_local - 1, complement-window mask)
+    qT = 1
+    q = rng.normal(size=(1, HQ, qT, D)).astype(np.float32)
+    qk = rng.normal(size=(1, HKV, qT, D)).astype(np.float32)
+    qv = rng.normal(size=(1, HKV, qT, D)).astype(np.float32)
+    dkv = decode_write(dkv, jnp.asarray(qk), jnp.asarray(qv), qT)
+    slot0 = nP
+    q_slots = jnp.asarray([[slot0]], jnp.int32)
+    got = np.asarray(decode_attend(jnp.asarray(q), q_slots, dkv, cfg))
+
+    # dense oracle
+    G = HQ // HKV
+    kk = np.asarray(dkv.k.astype(jnp.float32))[0]     # (HKV, C, D)
+    vv = np.asarray(dkv.v.astype(jnp.float32))[0]
+    C = kk.shape[1]
+    cos, sin = rope_cos_sin(jnp.arange(C, dtype=jnp.int32), D, 10000.0)
+    k_rot_init = np.asarray(_rot(jnp.asarray(kk[None, :, :nI]),
+                                 cos[:nI], sin[:nI]))[0]
+    k_win = np.concatenate([k_rot_init, kk[:, nI:]], axis=1)
+    cos_q, sin_q = rope_cos_sin(jnp.asarray(slot0, jnp.int32), D, 10000.0)
+    q_rot = np.asarray(_rot(jnp.asarray(q), cos_q, sin_q))[0]  # (HQ, 1, D)
+    cos1, sin1 = rope_cos_sin(jnp.asarray(cfg.n_local - 1, jnp.int32), D,
+                              10000.0)
+    q_one = np.asarray(_rot(jnp.asarray(q), cos1, sin1))[0]
+    out = np.zeros((HQ, qT, D), np.float32)
+    pos = np.arange(C)
+    win_mask = (slot0 - pos >= 0) & (slot0 - pos < cfg.n_local) \
+        & (pos < slot0 + 1)
+    init_mask = (slot0 - pos[:nI] >= cfg.n_local)
+    assert init_mask.all()  # deep in the branch
+    for hq in range(HQ):
+        hkv = hq // G
+        logits = np.concatenate([
+            (k_win[hkv] @ q_rot[hq, 0]) / np.sqrt(D)
+            + np.where(win_mask, 0.0, -np.inf),
+            (kk[hkv, :nI] @ q_one[hq, 0]) / np.sqrt(D)
+            + np.where(init_mask, 0.0, -np.inf)])
+        p = np.exp(logits - logits.max())
+        p /= p.sum()
+        out[hq, 0] = p[:C] @ vv[hkv] + p[C:] @ vv[hkv, :nI]
+    np.testing.assert_allclose(got[0], out, rtol=3e-3, atol=3e-3)

@@ -222,7 +222,9 @@ def test_qa_attention_and_decode_match_reference():
     from stc_tpu.kvcache.engine import retrieve_blocks
     ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q4), cfg)
     dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
-    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                       raw_rows=(cfg.n_init if cfg.decode_cap
+                                 > cfg.n_local else 0))
     dkv_q = decode_write(dkv, jnp.asarray(k4), jnp.asarray(v4), Tq)
     q_slots = valid_len[:, None] + np.arange(Tq, dtype=np.int32)[None, :]
     o_eng = decode_attend(jnp.asarray(q4), jnp.asarray(q_slots), dkv_q, cfg)
@@ -333,7 +335,10 @@ def test_qa_long_kv_branch_matches_reference():
     ret_k, ret_v, _, valid_len = retrieve_blocks(kv, jnp.asarray(q4), cfg)
     assert int(np.asarray(valid_len)[0]) + Tq > cfg.n_local  # deep in branch
     dkv = init_decode_kv(cfg, 1, HKV, D, dtype=jnp.float32)
-    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True)
+    # prefix install stores the init rows RAW (decode_cap > n_local):
+    # the init stage scores them never-rotated, like the reference
+    dkv = decode_write(dkv, ret_k, ret_v, valid_len, at_start=True,
+                       raw_rows=cfg.n_init)
     dkv_q = decode_write(dkv, jnp.asarray(k4), jnp.asarray(v4), Tq)
     q_slots = valid_len[:, None] + np.arange(Tq, dtype=np.int32)[None, :]
     o_eng = decode_attend(jnp.asarray(q4), jnp.asarray(q_slots), dkv_q, cfg)
