@@ -152,7 +152,12 @@ def run_stc(model_path: str, frames, qa, max_new: int):
                         block_size=token_per_frame,
                         exc_block_size=token_per_frame, topk=64,
                         chunk_size=1, max_blocks=256,
-                        max_prompt_tokens=256, max_new_tokens=max_new),
+                        max_prompt_tokens=256, max_new_tokens=max_new,
+                        # a PARITY gate pins the bit-exact host tier: the
+                        # int8 default trades ~0.4% KV error on refetched
+                        # evicted pages for speed (no eviction happens at
+                        # max_blocks=256 on one clip, but pin it anyway)
+                        host_kv_quant="none"),
         cacher=CacherConfig(strategy="cacher"),
         pruner=PrunerConfig(strategy="stc", token_per_frame=token_per_frame),
         encode_chunk_frames=1,

@@ -88,9 +88,12 @@ class ReKVConfig:
     # host<->device link and sit in host RAM as int8 with per-page/dim
     # scales — half the bytes, ~0.4% worst-case KV error on refetched pages
     # only, bounded by tests/test_host_tier.py; cold host-hit QA ~1.7x
-    # faster on a ~40 MB/s link) | 'none' (bit-exact host round trips — the
+    # faster on a ~40 MB/s link) | 'int4' (packed split-plane nibbles:
+    # QUARTER the transfer/RAM bytes at ~7% worst-case per-element error on
+    # refetched pages — the regime the int4 device store already validates
+    # end to end) | 'none' (bit-exact host round trips — the
     # reference-faithful tier; its CPU offload is always fp16-exact).
-    # Retrieval SCORING is identical either way (rep keys never leave the
+    # Retrieval SCORING is identical in all modes (rep keys never leave the
     # device); only attention over refetched evicted pages sees the error.
     host_kv_quant: str = "int8"
     # Prompt-lookup speculative decoding for the QA decode loop (beyond
@@ -121,7 +124,8 @@ class ReKVConfig:
                                             "pallas_interpret")
         # consumers compare == 'int8'; a typo (e.g. via STC_HOST_KV_QUANT)
         # must fail fast, not silently disable compression
-        assert self.host_kv_quant in ("none", "int8"), self.host_kv_quant
+        assert self.host_kv_quant in ("none", "int8", "int4"), \
+            self.host_kv_quant
         assert self.kv_quant in ("none", "int8", "int4"), self.kv_quant
         assert self.window_kv_compression in ("none", "select_top_half"), \
             self.window_kv_compression

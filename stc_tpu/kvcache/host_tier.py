@@ -163,3 +163,23 @@ def quantize_pages(k: jax.Array, v: jax.Array):
     kq, ks = one(k)
     vq, vs = one(v)
     return kq, ks, vq, vs
+
+
+@jax.jit
+def quantize_pages_int4(k: jax.Array, v: jax.Array):
+    """Symmetric int4 quantization of evicted pages ON DEVICE: quarter-size
+    D2H transfers and host RAM (packed split-plane nibbles, engine
+    _pack_int4 layout, so the staging dispatch's _unpack_int4 serves both
+    the int4 device store and this host tier).  k/v: (L, B, Hkv, E, S, D)
+    -> (uint8 packed (..., S, D//2), scale f32 (L, B, Hkv, E, D)) each."""
+    from stc_tpu.kvcache.engine import _pack_int4
+
+    def one(x):
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=4)      # (...,E,D)
+        scale = jnp.maximum(a, 1e-8) / 7.0
+        q = jnp.round(x.astype(jnp.float32) / scale[..., None, :])
+        q = jnp.clip(q, -7, 7).astype(jnp.int8)
+        return _pack_int4(q), scale
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return kq, ks, vq, vs

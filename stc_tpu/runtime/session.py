@@ -71,9 +71,16 @@ class _ServeRouter:
     STC_SERVE_ROUTE=fused|unfused pins the route (tests pin 'fused' to
     exercise the fused tick's structure deterministically; bench.py
     measures both arms explicitly and reports what 'auto' would pick).
+
+    Probe symmetry: each arm discards its first sample at a key (the fused
+    arm's is a shape-specialized compile; the unfused arm's jits are shared
+    across keys so its index-0 may already be warm — discarding it anyway
+    keeps the timed samples steady-state on both sides) and then times
+    N_TIME real ticks.  Probe ticks ARE serving ticks, so a larger N_TIME
+    costs only the slower arm's extra samples.
     """
 
-    N_TIME = 2
+    N_TIME = 3
 
     def __init__(self, mode: str | None = None):
         self.mode = mode or os.environ.get("STC_SERVE_ROUTE", "auto")
@@ -369,10 +376,14 @@ class StreamingSession:
                 # stores the same representation; host_kv_quant is implied)
                 self.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
                                        np.asarray(ev_ks), np.asarray(ev_vs))
-            elif rc.host_kv_quant == "int8":
-                # quantize ON DEVICE so the D2H copy is already half-size
-                from stc_tpu.kvcache.host_tier import quantize_pages
-                kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
+            elif rc.host_kv_quant in ("int8", "int4"):
+                # quantize ON DEVICE so the D2H copy is already compressed
+                # (int8 half-size; int4 packed nibbles quarter-size)
+                from stc_tpu.kvcache.host_tier import (quantize_pages,
+                                                       quantize_pages_int4)
+                qfn = (quantize_pages_int4 if rc.host_kv_quant == "int4"
+                       else quantize_pages)
+                kq, ks, vq, vs = qfn(ev_k, ev_v)
                 self.host_store.append(np.asarray(kq), np.asarray(vq),
                                        np.asarray(ks), np.asarray(vs))
             else:

@@ -340,3 +340,86 @@ def test_int8_host_tier_interleaved_stream_and_qa():
     a3 = sess.question_answering([40, 41], [40, 41, 42], [0],
                                  max_new_tokens=4)
     assert a2 == a3
+
+
+def test_int4_host_tier_quarters_bytes_and_bounds_error():
+    """host_kv_quant='int4': evicted pages sit in host RAM as packed
+    split-plane nibbles + scales (quarter the fp32 data bytes) and
+    dequantized fetches reproduce the original pages within the symmetric
+    int4 error bound (absmax/14 per (page, head, dim))."""
+    sess_q, mcfg = make_sess_q(max_blocks=32, seed=2, quant="int4")
+    sess_f, _ = make_sess(max_blocks=32, seed=2)
+    big, _ = make_sess(max_blocks=256, seed=2)
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    for s in (sess_q, sess_f, big):
+        s.encode_init_prompt(list(range(6)))
+        s.encode_video_features(feats)
+    assert sess_q._evicted_pages > 0
+    assert sess_q.host_store.quantized
+    assert sess_q.host_store.k_chunks[0].dtype == np.uint8
+    # packed nibbles (0.5 B/elem) + per-dim fp32 scales vs fp32 pages:
+    # 0.25x at the test's S=8 (scales amortize over S rows; production
+    # S=60 gives ~0.14x, ~0.27x vs a bf16 store)
+    assert sess_q.host_store.nbytes() <= 0.25 * sess_f.host_store.nbytes() \
+        + 1024
+
+    n = sess_q._evicted_pages
+    hk, hv = sess_q.host_store.fetch(0, 0, range(n))      # (n, Hkv, S, D)
+    true_k = np.asarray(big.kvs.block_k)[0, 0, :, :n].transpose(1, 0, 2, 3)
+    true_v = np.asarray(big.kvs.block_v)[0, 0, :, :n].transpose(1, 0, 2, 3)
+    for got, want in ((hk, true_k), (hv, true_v)):
+        bound = np.abs(want).max(axis=2, keepdims=True) / 14.0 + 1e-6
+        assert np.all(np.abs(got - want) <= bound + 1e-5)
+
+
+def test_int4_host_tier_qa_protocol_and_checkpoint(tmp_path):
+    """QA against the int4 two-tier store completes the speculative-prefetch
+    protocol (packed deltas cross the link at quarter size, unpack+dequant
+    inside the one staging dispatch) and checkpoint round-trips the packed
+    store bit-exactly."""
+    from stc_tpu.utils.checkpoint import (load_session_state,
+                                          save_session_state)
+    sess, mcfg = make_sess_q(max_blocks=32, seed=3, quant="int4")
+    rng = np.random.default_rng(3)
+    sess.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    assert sess._evicted_pages > 0
+    fc0 = sess.host_store.fetch_count
+    ans = sess.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
+                                  max_new_tokens=6)
+    assert sess.host_store.fetch_count > fc0   # host pages actually served
+    assert 1 <= len(ans) <= 6
+
+    save_session_state(sess, str(tmp_path / "q4.npz"))
+    sess2, _ = make_sess_q(max_blocks=32, seed=3, quant="int4")
+    load_session_state(sess2, str(tmp_path / "q4.npz"))
+    assert sess2.host_store.quantized
+    assert sess2.host_store.k_chunks[0].dtype == np.uint8
+    ans2 = sess2.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
+                                    max_new_tokens=6)
+    assert ans == ans2  # same packed store -> identical answers
+
+
+def test_int4_host_tier_interleaved_stream_and_qa():
+    """int4 session lifecycle mirror of the int8 test: stream past capacity
+    -> QA -> stream more -> QA; warm repeat is deterministic."""
+    sess, mcfg = make_sess_q(max_blocks=32, seed=9, quant="int4")
+    rng = np.random.default_rng(9)
+    sess.encode_init_prompt(list(range(6)))
+    feats = rng.normal(size=(1, 40 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(feats)
+    ev1 = sess._evicted_pages
+    assert ev1 > 0
+    a1 = sess.question_answering([5, 6, 7], [5, 6, 7, 8], [0],
+                                 max_new_tokens=4)
+    assert 1 <= len(a1) <= 4
+    more = rng.normal(size=(1, 16 * 8, mcfg.hidden_size)).astype(np.float32)
+    sess.encode_video_features(more)
+    assert sess._evicted_pages > ev1
+    a2 = sess.question_answering([40, 41], [40, 41, 42], [0],
+                                 max_new_tokens=4)
+    a3 = sess.question_answering([40, 41], [40, 41, 42], [0],
+                                 max_new_tokens=4)
+    assert a2 == a3
