@@ -167,13 +167,21 @@ class StreamingSession:
             # the paged Pallas kernel (compiled OR interpret) does not read
             # page keep masks
             self.attn_backend = "jnp"
-        self._encode_init = jax.jit(functools.partial(
-            qw.encode_step, cfg=mc, rekv=rc, is_init=True),
-            donate_argnames=("kvs",))
-        self._encode_block = jax.jit(functools.partial(
-            qw.encode_step, cfg=mc, rekv=rc, is_init=False,
-            attn_backend=self.attn_backend),
-            donate_argnames=("kvs",))
+        # Page-store LAYOUT COMMIT (round-5 #1): on TPU, XLA's while loops
+        # prefer a NON-DEFAULT layout for the page store (the page axis
+        # hoisted: major_to_minor (0,3,1,2,4,5) at 0.5b shapes) and pay
+        # full-store relayout copies at every parameter boundary that
+        # disagrees — 4 copies (~1.5 GB each) in the fused serve tick, which
+        # made one dispatch SLOWER than the two it replaced (rounds 3-4).
+        # Committing kvs buffers in the loop-preferred layout at init
+        # removes every copy (measured: fused 715->380 ms class; probe
+        # artifact scripts/probe_serve_layout.out.json).  _kvs_fmt is a
+        # StreamKV of Formats once committed; every kvs-DONATING jit must
+        # then pin its kvs output to the same formats or XLA un-aliases the
+        # donation (double-buffers the 3 GB store and relayouts — measured
+        # OOM at 0.5b/B=4).  CPU tests and meshed sessions keep defaults.
+        self._kvs_fmt = None
+        self._build_kv_jits()
         self._qa_retrieve = jax.jit(functools.partial(
             qw.qa_retrieve_step, cfg=mc, rekv=rc), donate_argnames=("dkvs",))
         self._decode = jax.jit(functools.partial(
@@ -236,6 +244,71 @@ class StreamingSession:
 
         self.kvs = None
         self.clear_cache()
+
+    # ------------------------------------------------------------------ #
+    def _build_kv_jits(self):
+        """(Re)build the kvs-donating jits; once _kvs_fmt is set their kvs
+        outputs are pinned to the committed formats so donation aliases
+        in-place (input layout == output layout) on every tick."""
+        mc, rc = self.mcfg, self.rekv
+        okv = ({} if self._kvs_fmt is None
+               else dict(out_shardings=(None, self._kvs_fmt)))
+        self._encode_init = jax.jit(functools.partial(
+            qw.encode_step, cfg=mc, rekv=rc, is_init=True),
+            donate_argnames=("kvs",), **okv)
+        self._encode_block = jax.jit(functools.partial(
+            qw.encode_step, cfg=mc, rekv=rc, is_init=False,
+            attn_backend=self.attn_backend),
+            donate_argnames=("kvs",), **okv)
+        for name in ("_serve_jit", "_reset_jit", "_evict_jit"):
+            if hasattr(self, name):
+                delattr(self, name)  # rebuilt lazily against _kvs_fmt
+
+    def _layout_commit_enabled(self) -> bool:
+        mode = os.environ.get("STC_KV_LAYOUT", "auto")
+        if mode == "off":
+            return False
+        if mode == "force":  # tests: exercise the machinery on CPU
+            return self.mesh is None
+        return self.mesh is None and jax.default_backend() != "cpu"
+
+    def _commit_serve_layout(self, embeds, active, q_ids, q_len, p_ids,
+                             p_len, stop_ids, max_new_tokens: int):
+        """Learn the MERGED serve program's preferred page-store layout
+        (AUTO-layout compile at the tick's real shapes), commit the live
+        store into it, and rebuild the donating jits with pinned outputs.
+
+        Only the merged encode+QA program prefers a non-default layout —
+        the standalone encode/QA programs are happy with the store's
+        natural layout (zero copies), which is why this commit is LAZY at
+        the first fused serve tick: streaming/QA-only sessions never pay
+        the probe compile or the 3-GB relayout.  One-time cost at first
+        serve: the AUTO probe compile plus recompiles of the kv jits
+        against the committed layout."""
+        from jax.experimental.layout import Format, Layout
+        mc, rc = self.mcfg, self.rekv
+        kvs_auto = jax.tree.map(lambda _: Format(Layout.AUTO), self.kvs)
+        serve_fn = functools.partial(qw.serve_step, cfg=mc, rekv=rc,
+                                     attn_backend=self.attn_backend,
+                                     max_new_tokens=max_new_tokens)
+
+        def pos(params, kvs, embeds, active, q_ids, q_len, p_ids, p_len,
+                stop_ids):
+            return serve_fn(params, kvs=kvs, embeds=embeds, active=active,
+                            q_ids=q_ids, q_len=q_len, p_ids=p_ids,
+                            p_len=p_len, stop_ids=stop_ids)
+
+        probe = jax.jit(pos, in_shardings=(None, kvs_auto) + (None,) * 7,
+                        out_shardings=(kvs_auto, None, None),
+                        donate_argnums=(1,))
+        sds = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                           (embeds, active, q_ids, q_len, p_ids, p_len,
+                            stop_ids))
+        comp = probe.lower(self.params, self.kvs, *sds).compile()
+        self._kvs_fmt = type(self.kvs)(*comp.input_formats[0][1])
+        del comp, probe
+        self.kvs = jax.device_put(self.kvs, self._kvs_fmt)
+        self._build_kv_jits()
 
     # ------------------------------------------------------------------ #
     def _init_pp(self):
@@ -313,6 +386,10 @@ class StreamingSession:
                                         self.state_dtype)
         if self.pp > 1:
             self.kvs = self._place_kvs_pp(self.kvs)
+        elif self._kvs_fmt is not None:
+            # a serving session that already committed keeps the serve-
+            # preferred layout across clear_cache (its jits are pinned to it)
+            self.kvs = jax.device_put(self.kvs, self._kvs_fmt)
         self.host_store = HostBlockStore()
         self.hp_reset()
         self._total_blocks = 0
@@ -369,7 +446,20 @@ class StreamingSession:
             E = self._evict_n
             assert E > 0 and resident - E >= self._window_pages, (
                 "max_blocks too small for host-tier eviction margins")
-            ev_k, ev_v, ev_ks, ev_vs, self.kvs = evict_pages(self.kvs, E)
+            if self._kvs_fmt is not None:
+                # committed-layout store: pin the shifted store's output
+                # layout or the donation un-aliases and the next tick's
+                # jits see a default-layout store (recompile thrash)
+                if not hasattr(self, "_evict_jit"):
+                    self._evict_jit = jax.jit(
+                        evict_pages.__wrapped__,
+                        static_argnames=("n_evict",), donate_argnums=(0,),
+                        out_shardings=(None, None, None, None,
+                                       self._kvs_fmt))
+                ev_k, ev_v, ev_ks, ev_vs, self.kvs = self._evict_jit(
+                    self.kvs, E)
+            else:
+                ev_k, ev_v, ev_ks, ev_vs, self.kvs = evict_pages(self.kvs, E)
             if rc.kv_quant != "none":
                 # device pages are already int8 (or packed-int4) + scales:
                 # the D2H copy is compressed with zero extra work (host tier
@@ -598,13 +688,25 @@ class StreamingSession:
                                           time.perf_counter() - t0)
             return out
         self._maybe_evict(n)  # rep-capacity fail-fast (never evicts here)
+        stop_arr = _stop_arr(stop_token_ids)
+        mask = (jnp.ones((B,), bool) if act_dev is None else act_dev)
+        if self._kvs_fmt is None and self._layout_commit_enabled():
+            # first fused tick: commit the store into the merged program's
+            # preferred layout (kills its 4 full-store relayout copies —
+            # measured 565 -> 380 ms at 0.5b/B=4, probe_serve_layout.out)
+            self._commit_serve_layout(
+                jnp.asarray(feats), mask, jnp.asarray(q_ids),
+                jnp.asarray(q_len, jnp.int32), jnp.asarray(p_ids),
+                jnp.asarray(p_len, jnp.int32), jnp.asarray(stop_arr),
+                max_new_tokens)
         if not hasattr(self, "_serve_jit"):
+            okv = ({} if self._kvs_fmt is None
+                   else dict(out_shardings=(self._kvs_fmt, None, None)))
             self._serve_jit = jax.jit(functools.partial(
                 qw.serve_step, cfg=self.mcfg, rekv=rc,
                 attn_backend=self.attn_backend),
-                static_argnames=("max_new_tokens",), donate_argnames=("kvs",))
-        stop_arr = _stop_arr(stop_token_ids)
-        mask = (jnp.ones((B,), bool) if act_dev is None else act_dev)
+                static_argnames=("max_new_tokens",),
+                donate_argnames=("kvs",), **okv)
         t0 = time.perf_counter()
         self.kvs, tokens, count = self._serve_jit(
             self.params, kvs=self.kvs, embeds=feats, active=mask,
@@ -644,9 +746,11 @@ class StreamingSession:
                 "keep serving sessions device-resident.")
         if not hasattr(self, "_reset_jit"):
             from stc_tpu.kvcache.engine import reset_streams as _rs
+            okv = ({} if self._kvs_fmt is None
+                   else dict(out_shardings=self._kvs_fmt))
             self._reset_jit = jax.jit(
                 functools.partial(_rs, batch_axis=1),
-                donate_argnames=("kv",))
+                donate_argnames=("kv",), **okv)
         self.kvs = self._reset_jit(kv=self.kvs, reset=jnp.asarray(mask),
                                    init_len=jnp.int32(self._init_len))
         self._ensure_ragged()

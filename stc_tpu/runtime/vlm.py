@@ -372,6 +372,16 @@ class VLMSession(StreamingSession):
         self._frame_jits = {}
         self._reset_vision()
 
+    def _kv_out(self, tail: int):
+        """out_shardings pinning the kvs output (position 0) to the
+        session's committed store formats, with `tail` unconstrained
+        outputs after it; {} when the layout is not committed (CPU/mesh).
+        Donating jits must pin or XLA un-aliases the donation
+        (runtime/session.py layout-commit notes)."""
+        if self._kvs_fmt is None:
+            return {}
+        return dict(out_shardings=(self._kvs_fmt,) + (None,) * tail)
+
     def _get_frame_jit(self, cached: bool, bucket: int,
                        ragged: bool = False):
         tk = self.vision.trace_key()
@@ -382,7 +392,7 @@ class VLMSession(StreamingSession):
             self._frame_jits[key] = jax.jit(
                 functools.partial(fn, cached=cached, bucket=bucket,
                                   trace_key=tk),
-                donate_argnames=donate)
+                donate_argnames=donate, **self._kv_out(2))
         return self._frame_jits[key]
 
     def _get_serve_jit(self, cached: bool, mixed: bool, bucket: int,
@@ -402,7 +412,7 @@ class VLMSession(StreamingSession):
                                   mixed=mixed, bucket=bucket, ragged=ragged,
                                   max_new_tokens=max_new_tokens,
                                   trace_key=tk),
-                donate_argnames=donate)
+                donate_argnames=donate, **self._kv_out(4))
         return self._frame_jits[key]
 
     def _get_mixed_jit(self, bucket: int):
@@ -412,7 +422,7 @@ class VLMSession(StreamingSession):
             self._frame_jits[key] = jax.jit(
                 functools.partial(self._frame_mixed_fn, bucket=bucket,
                                   trace_key=tk),
-                donate_argnames=("kvs",))
+                donate_argnames=("kvs",), **self._kv_out(2))
         return self._frame_jits[key]
 
     def _bucket(self, blocks_after: int) -> int:

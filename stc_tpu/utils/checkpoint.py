@@ -85,6 +85,11 @@ def load_session_state(session, path: str):
             new_leaves.append(type(old)(arr) if arr.shape == () else arr)
     state = jax.tree.unflatten(treedef, new_leaves)
     session.kvs = state["kvs"]
+    if getattr(session, "_kvs_fmt", None) is not None:
+        # layout-committed sessions: restore the store into the committed
+        # formats (a default-layout restore would recompile every kv jit
+        # and un-alias their donations)
+        session.kvs = jax.device_put(session.kvs, session._kvs_fmt)
     session.chunk_idx = int(state["chunk_idx"])
     session._total_blocks = int(state["total_blocks"])
     session._evicted_pages = int(state["evicted_pages"])
@@ -188,6 +193,10 @@ def load_stream_state(session, slot: int, path: str):
     session.kvs = jax.tree.map(
         lambda cur, new: cur.at[:, slot].set(jnp.asarray(new, cur.dtype)),
         session.kvs, state["kvs"])
+    if getattr(session, "_kvs_fmt", None) is not None:
+        # the un-jitted scatter above lands in default layouts; put the
+        # store back into the session's committed formats
+        session.kvs = jax.device_put(session.kvs, session._kvs_fmt)
     vision = getattr(session, "vision", None)
     if vision is not None:
         session._vstate, session._pstate = vision.restore_stream(
