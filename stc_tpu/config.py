@@ -186,6 +186,11 @@ class CacherConfig:
     cache_interval: int = 2           # full recompute every Nth chunk
     sim_source: str = "key"           # 'key' | 'value' similarity gating
                                       # (reference custom_siglip variants)
+    # row gather/scatter implementation inside the cached layer:
+    # 'index' (advanced-index gather/scatter), 'onehot' (0/1-matrix matmuls
+    # — bit-equal, rides the MXU instead of the ~20 GB/s gather path), or
+    # 'auto' (onehot on accelerators, index on CPU)
+    gather_impl: str = "auto"
 
     @property
     def enabled(self) -> bool:

@@ -108,7 +108,8 @@ class FrameEncoder:
 
         def _cached(params, pixels, cacher, pruner_state):
             feats = sg.encode_cached(params["vision"], vc, pixels, cacher,
-                                     scfg.cacher.update_token_ratio)
+                                     scfg.cacher.update_token_ratio,
+                                     gather_impl=scfg.cacher.gather_impl)
             out, idx, pruner_state = _post(feats, pruner_state)
             return out, idx, cacher, pruner_state
 
@@ -239,7 +240,8 @@ class LlavaOVVision(VisionPipeline):
         feats = sg.encode_cached(params["vision"], self.cfg.vision, pixels,
                                  vstate, self.scfg.cacher.update_token_ratio,
                                  sim_source=self.scfg.cacher.sim_source,
-                                 n_streams=self.batch)
+                                 n_streams=self.batch,
+                                 gather_impl=self.scfg.cacher.gather_impl)
         flat, pstate = self._post(params, feats, pstate)
         return flat, vstate, pstate
 

@@ -173,7 +173,7 @@ def _layer_full(lp, h, cfg: SiglipConfig):
 
 
 def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
-                  sim_source: str = "key"):
+                  sim_source: str = "key", gather_impl: str = "auto"):
     """Selective-recompute layer (custom_siglip.py:115-224; the V-similarity
     variant of custom_siglip.py:260-447 gates on fresh-V-vs-reference-V
     instead).
@@ -201,6 +201,12 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
     F_, T, C = h.shape
     H = cfg.num_heads
     D = C // H
+    if gather_impl == "auto":
+        # XLA gathers run ~20 GB/s on TPU while 0/1 matmuls ride the MXU
+        # (PLATFORM_NOTES.md); both formulations are bit-equal (x*1 and
+        # x+0 are exact in every dtype)
+        gather_impl = "index" if jax.default_backend() == "cpu" else "onehot"
+    onehot = gather_impl == "onehot"
 
     hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
     k_full = hn @ lp["wk"] + lp["bk"]                       # (F, T, C)
@@ -224,7 +230,41 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
     frow = jnp.arange(F_, dtype=jnp.int32)[:, None]          # (F, 1)
     U = num_update
 
-    toks = hn[frow, upd_idx]                                 # row gather (F,U,C)
+    if onehot:
+        # (F, U, T) 0/1 selection matrix: every gather below becomes
+        # G @ x and every scatter-merge becomes h + ref + G^T @ delta
+        G = (upd_idx[:, :, None]
+             == jnp.arange(T, dtype=jnp.int32)[None, None, :]).astype(h.dtype)
+
+        def rows(x):           # (F, T, C) -> (F, U, C)
+            return jnp.einsum("fut,ftc->fuc", G, x)
+
+        def rows_shared(x):    # (T, C) -> (F, U, C)
+            return jnp.einsum("fut,tc->fuc", G, x)
+
+        upd_mask = jnp.einsum("fut->ft", G)[..., None]       # (F, T, 1) 0/1
+
+        def merge(h, ref, vals):
+            # updated rows become h_row + vals_row, the rest h + ref —
+            # BIT-IDENTICAL to the index path's scatter-then-add: every
+            # one-hot product is x*1 or x*0 and every cross-term adds an
+            # exact zero, so the only roundings are the same h_row + vals
+            # and h + ref adds the index path performs
+            upd = jnp.einsum("fut,fuc->ftc", G, rows(h) + vals)
+            return (1.0 - upd_mask) * (h + ref) + upd
+    else:
+        def rows(x):
+            return x[frow, upd_idx]
+
+        def rows_shared(x):
+            return x[upd_idx]
+
+        def merge(h, ref, vals):
+            h_rows = rows(h)
+            h = h + ref
+            return _scatter_tokens(h, upd_idx, h_rows + vals)
+
+    toks = rows(hn)                                          # (F, U, C)
     q_sel = toks @ lp["wq"] + lp["bq"]
 
     if sim_source == "value":
@@ -244,9 +284,12 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
         o = jnp.einsum("fhut,thd->fhud", p, rvh,
                        preferred_element_type=jnp.float32)
         # correction at the updated columns only
-        p_sel = jnp.take_along_axis(
-            p, upd_idx[:, None, None, :], axis=3)            # (F, H, U, U)
-        dv = (v_sel - ref_v[0][upd_idx]).reshape(F_, U, H, D)
+        if onehot:
+            p_sel = jnp.einsum("fhut,fwt->fhuw", p, G)       # (F, H, U, U)
+        else:
+            p_sel = jnp.take_along_axis(
+                p, upd_idx[:, None, None, :], axis=3)        # (F, H, U, U)
+        dv = (v_sel - rows_shared(ref_v[0])).reshape(F_, U, H, D)
         o = o + jnp.einsum("fhuw,fwhd->fhud", p_sel,
                            dv.astype(p_sel.dtype),
                            preferred_element_type=jnp.float32)
@@ -255,19 +298,15 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
     attn_sel = attn_sel @ lp["wo"] + lp["bo"]               # (F, U, C)
     # residual merge without materializing a full scattered buffer: rows
     # outside upd_idx take h + ref (one streaming pass over the ref), rows
-    # inside take the recomputed h_row + attn_sel (bit-identical operands
-    # to the scatter-then-add formulation)
-    h_rows = h[frow, upd_idx]
-    h = h + ref_attn
-    h = _scatter_tokens(h, upd_idx, h_rows + attn_sel)
+    # inside take the recomputed h_row + attn_sel (merge() — index scatter
+    # or bit-equal one-hot masked select)
+    h = merge(h, ref_attn, attn_sel)
 
     hn2 = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
-    toks2 = hn2[frow, upd_idx]
+    toks2 = rows(hn2)
     mlp_sel = jax.nn.gelu(toks2 @ lp["fc1"] + lp["fc1_b"], approximate=True)
     mlp_sel = mlp_sel @ lp["fc2"] + lp["fc2_b"]
-    h_rows2 = h[frow, upd_idx]
-    h = h + ref_mlp
-    h = _scatter_tokens(h, upd_idx, h_rows2 + mlp_sel)
+    h = merge(h, ref_mlp, mlp_sel)
     return h
 
 
@@ -310,7 +349,8 @@ def encode_full(params, cfg: SiglipConfig, pixels: jax.Array,
 
 def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
                   cacher: CacherState, update_ratio: float,
-                  sim_source: str = "key", n_streams: int = 1) -> jax.Array:
+                  sim_source: str = "key", n_streams: int = 1,
+                  gather_impl: str = "auto") -> jax.Array:
     """Selective-recompute chunk: returns features; cacher unchanged.
 
     With n_streams > 1, frames are stream-major on the leading axis and each
@@ -324,13 +364,13 @@ def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
         lp, rk, rv, ra, rm = xs
         if n_streams == 1:
             h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg,
-                              sim_source)
+                              sim_source, gather_impl)
         else:
             hb = h.reshape(n_streams, BF // n_streams, T, C)
             h = jax.vmap(
                 lambda hs, a, b, c, d: _layer_cached(
                     lp, hs, (a[None], b[None], c[None], d[None]),
-                    num_update, cfg, sim_source)
+                    num_update, cfg, sim_source, gather_impl)
             )(hb, rk, rv, ra, rm).reshape(BF, T, C)
         return h, None
 

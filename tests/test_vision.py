@@ -202,3 +202,40 @@ def test_cacher_value_similarity_variant(hf_siglip):
     b = sg.encode_cached(params, cfg, jnp.asarray(new), cacher,
                          update_ratio=0.25, sim_source="key")
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_onehot_gather_impl_bit_identical(hf_siglip):
+    """gather_impl='onehot' replaces every row gather/scatter in the cached
+    layer with 0/1 matmuls (MXU path instead of the ~20 GB/s XLA gather on
+    TPU).  Every one-hot product is x*1 or x*0 and every cross-term adds an
+    exact zero, so outputs must be BIT-IDENTICAL to the index path — in
+    f32 and in bf16."""
+    _, cfg, params = hf_siglip
+    rng = np.random.default_rng(7)
+    ref_pix = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+    new_pix = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        p = jax.tree.map(lambda x: jnp.asarray(x, dt), params)
+        cacher = sg.init_cacher_state(cfg, 1, dt)
+        _, cacher = sg.encode_full(p, cfg, jnp.asarray(ref_pix, dt), cacher)
+        outs = {}
+        for impl in ("index", "onehot"):
+            outs[impl] = np.asarray(sg.encode_cached(
+                p, cfg, jnp.asarray(new_pix, dt), cacher,
+                update_ratio=0.25, gather_impl=impl).astype(jnp.float32))
+        np.testing.assert_array_equal(outs["index"], outs["onehot"])
+
+    # and through the multi-stream vmapped path
+    p = params
+    cacher2 = sg.init_cacher_state(cfg, 2)
+    pix4 = rng.normal(size=(4, 3, 56, 56)).astype(np.float32)
+    _, cacher2 = sg.encode_full(p, cfg, jnp.asarray(pix4), cacher2,
+                                n_streams=2)
+    a = sg.encode_cached(p, cfg, jnp.asarray(pix4), cacher2,
+                         update_ratio=0.25, n_streams=2,
+                         gather_impl="index")
+    b = sg.encode_cached(p, cfg, jnp.asarray(pix4), cacher2,
+                         update_ratio=0.25, n_streams=2,
+                         gather_impl="onehot")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
