@@ -183,6 +183,33 @@ def fast_forward(sess, n_blocks):
     sess._total_blocks = n_blocks
 
 
+_LAST_SAMPLES: list = []
+
+
+def record_samples(vals):
+    """Stash the per-pass samples of the mode's PRIMARY timed section (fps
+    or ms per pass) for the report's variance fields."""
+    _LAST_SAMPLES[:] = [float(v) for v in vals]
+
+
+def spread_fields(d):
+    """Median +- spread protocol: every mode's JSON carries its per-pass
+    samples and (max-min)/median so a single-number regression can be told
+    apart from relay variance (PLATFORM_NOTES.md: transfer-bound modes swing
+    +-30% across sessions; cross-session single samples are not comparable).
+    """
+    s = list(_LAST_SAMPLES)
+    if len(s) >= 3:
+        med = statistics.median(s)
+        d["samples"] = [round(x, 2) for x in s]
+        d["spread_pct"] = round(100.0 * (max(s) - min(s)) / med, 1)
+    return d
+
+
+def emit(d):
+    print(json.dumps(spread_fields(d)))
+
+
 def timed_passes(fn, sync, n_passes=5):
     times = []
     for _ in range(n_passes):
@@ -190,6 +217,7 @@ def timed_passes(fn, sync, n_passes=5):
         fn()
         sync()
         times.append(time.perf_counter() - t0)
+    timed_passes.last = list(times)
     return statistics.median(times)
 
 
@@ -246,6 +274,7 @@ def bench_ingest(batch=1, seven_b=False, kv_quant="none", staged=False,
                 sess.encode_video(chunk(i))
 
     dt = timed_passes(one_pass, lambda: hard_sync(sess))
+    record_samples([batch * n_frames / t for t in timed_passes.last])
     return batch * n_frames / dt
 
 
@@ -282,11 +311,15 @@ def autotune_multistream(staged=False):
                            env=env, capture_output=True, text=True,
                            timeout=1800)
         lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        results[(c, fmt)] = (json.loads(lines[-1])["value"]
-                             if (r.returncode == 0 and lines) else 0.0)
-    best = max(results, key=results.get)
+        d = (json.loads(lines[-1])
+             if (r.returncode == 0 and lines) else {"value": 0.0})
+        results[(c, fmt)] = d["value"]
+        # propagate the winning candidate's per-pass samples to the report
+        results[(c, fmt, "samples")] = d.get("samples", [])
+    best = max((k for k in results if len(k) == 2), key=results.get)
+    record_samples(results.get((best[0], best[1], "samples"), []))
     probed = ", ".join(f"C{c}/{f}={results[(c, f)]:.1f}"
-                       for c, f in sorted(results))
+                       for c, f in sorted(k for k in results if len(k) == 2))
     return results[best], (f"{best[0]}-frame {best[1]} chunks auto-tuned to "
                            f"the live link (probed {probed} fps)")
 
@@ -344,13 +377,16 @@ def bench_qa(seven_b=False, spec=0, max_new=16, vs_plain=False):
             lat.append((time.perf_counter() - t0) * 1000)
             assert len(ans) == max_new
         lat.sort()
+        record_samples(lat)
         return lat[len(lat) // 2]
 
     spec_ms = arm()
     if not vs_plain:
         return spec_ms
+    spec_samples = list(_LAST_SAMPLES)
     sess.set_spec_decode(0)
     plain_ms = arm()
+    record_samples(spec_samples)  # the reported value is the spec arm's
     return spec_ms, plain_ms
 
 
@@ -371,6 +407,11 @@ def bench_qa_host(warm=False, quant="default"):
     if quant == "exact":
         import dataclasses
         sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant="none")
+    elif quant == "tier_int4":
+        # bf16 device store, INT4 host tier: quarter-size page transfers on
+        # the cold path with the device-resident window untouched
+        import dataclasses
+        sess.rekv = dataclasses.replace(sess.rekv, host_kv_quant="int4")
     sess.encode_init_prompt(list(range(14)))
     fast_forward(sess, STEADY_BLOCKS)
     rng = np.random.default_rng(0)
@@ -379,15 +420,18 @@ def bench_qa_host(warm=False, quant="default"):
     # move the oldest 128 pages to host RAM (long-stream production state);
     # rep keys of fast-forwarded pages are zero, so the top-64 retrieval
     # lands entirely in the host tier — the worst case for this path
-    from stc_tpu.kvcache.host_tier import evict_pages, quantize_pages
+    from stc_tpu.kvcache.host_tier import (evict_pages, quantize_pages,
+                                           quantize_pages_int4)
     E = 128
     ev_k, ev_v, ev_ks, ev_vs, sess.kvs = evict_pages(sess.kvs, E)
     if quant in ("kv_int8", "kv_int4"):
         # device pages are already int8/packed-int4 + scales (kv_quant store)
         sess.host_store.append(np.asarray(ev_k), np.asarray(ev_v),
                                np.asarray(ev_ks), np.asarray(ev_vs))
-    elif sess.rekv.host_kv_quant == "int8":  # the default tier
-        kq, ks, vq, vs = quantize_pages(ev_k, ev_v)
+    elif sess.rekv.host_kv_quant in ("int8", "int4"):  # quantized tiers
+        qfn = (quantize_pages_int4 if sess.rekv.host_kv_quant == "int4"
+               else quantize_pages)
+        kq, ks, vq, vs = qfn(ev_k, ev_v)
         sess.host_store.append(np.asarray(kq), np.asarray(vq),
                                np.asarray(ks), np.asarray(vs))
     else:
@@ -407,6 +451,7 @@ def bench_qa_host(warm=False, quant="default"):
         lat.append((time.perf_counter() - t0) * 1000)
         assert len(ans) == 16
     lat.sort()
+    record_samples(lat)
     return lat[len(lat) // 2]
 
 
@@ -467,35 +512,37 @@ def bench_serving():
             fn()
             hard_sync(sess)
             lat[name].append((time.perf_counter() - t0) * 1000)
-    return (statistics.median(lat["fused"]),
-            statistics.median(lat["unfused"]))
+    f_med = statistics.median(lat["fused"])
+    u_med = statistics.median(lat["unfused"])
+    record_samples(lat["fused"] if f_med <= u_med else lat["unfused"])
+    return f_med, u_med
 
 
 def main():
     mode = os.getenv("BENCH_MODE", "ingest")
     if mode == "ingest":
         fps = bench_ingest()
-        print(json.dumps({
+        emit({
             "metric": "streaming ingest frames/sec/chip (llava-ov-0.5b "
                       f"shapes, STC cacher+pruner, {CHUNK}-frame chunks, "
                       "steady-state full window, encode+prefill)",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
-        }))
+        })
     elif mode == "multistream":
         fps, label = autotune_multistream()
-        print(json.dumps({
+        emit({
             "metric": "aggregate streaming ingest frames/sec/chip "
                       "(4 parallel streams, llava-ov-0.5b shapes, STC "
                       f"cacher+pruner, {label}, steady state)",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
-        }))
+        })
     elif mode == "7b":
         fps = bench_ingest(seven_b=True)
-        print(json.dumps({
+        emit({
             "metric": "streaming ingest frames/sec/chip (llava-ov-7B FULL "
                       "28-layer depth, int8 weights + bf16 activations/KV — "
                       "bf16 weights need >1 chip — STC cacher+pruner, "
@@ -505,27 +552,27 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 15.0, 3),
-        }))
+        })
     elif mode == "qa_7b":
         ms = bench_qa(seven_b=True)
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
                       "+ 16-token greedy decode, llava-ov-7B FULL depth, "
                       "int8 weights, steady-state full window)",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
+        })
     elif mode == "qa":
         ms = bench_qa()
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 (retrieval + 40-token prompt prefill "
                       "+ 16-token greedy decode, llava-ov-0.5b shapes, "
                       "steady-state full window)",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
+        })
     elif mode in ("qa_spec", "qa_7b_spec"):
         seven = mode == "qa_7b_spec"
         # one session serves BOTH arms (set_spec_decode(0) swaps the QA
@@ -534,7 +581,7 @@ def main():
         spec_ms, plain_ms = bench_qa(seven_b=seven, spec=4, max_new=32,
                                      vs_plain=True)
         shapes = "llava-ov-7b int8 weights" if seven else "llava-ov-0.5b"
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 WITH PROMPT-LOOKUP SPECULATIVE DECODE "
                       "+ cross-question draft history (K=4 drafts/round, "
                       f"32-token decode, {shapes}, steady-state, repeated-"
@@ -544,10 +591,10 @@ def main():
             "value": round(spec_ms, 1),
             "unit": "ms",
             "vs_baseline": round(plain_ms / spec_ms, 3),
-        }))
+        })
     elif mode == "ingest_kvq4":
         fps = bench_ingest(kv_quant="int4")
-        print(json.dumps({
+        emit({
             "metric": "streaming ingest frames/sec/chip with INT4 KV PAGES "
                       "(packed nibbles: quarter the page bytes + "
                       "quarter-width window reads, 4x retrievable history "
@@ -556,20 +603,20 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
-        }))
+        })
     elif mode == "qa_host_kvq4":
         ms = bench_qa_host(quant="kv_int4")
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 with host-tier hits, INT4 KV pages "
                       "end to end (quarter-size page transfer, cold "
                       "prefetch table), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
+        })
     elif mode == "ingest_yuv":
         fps = bench_ingest(ingest="yuv420")
-        print(json.dumps({
+        emit({
             "metric": "streaming ingest frames/sec/chip with YUV 4:2:0 "
                       "ingest (packed planar BT.601 planes cross the link "
                       "at HALF the bytes/frame — codecs store 4:2:0, the "
@@ -580,10 +627,10 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
-        }))
+        })
     elif mode == "ingest_kvq":
         fps = bench_ingest(kv_quant="int8")
-        print(json.dumps({
+        emit({
             "metric": "streaming ingest frames/sec/chip with INT8 KV PAGES "
                       "(page store int8+scales: half the window-read HBM "
                       "bandwidth, 2x retrievable history at equal memory; "
@@ -592,14 +639,14 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
-        }))
+        })
     elif mode == "multistream_staged":
         fps, label = autotune_multistream(staged=True)
         ncpu = os.cpu_count()
         routed = "threaded overlap" if (ncpu or 1) >= 2 else (
             "synchronous (prefetch thread would contend with the "
             "dispatch thread for the only core)")
-        print(json.dumps({
+        emit({
             "metric": f"aggregate ingest fps, 4 streams, {label}, STAGED "
                       "transfer path (FramePrefetcher+stage_chunk) with "
                       "core-count ROUTING: the prefetcher overlaps on "
@@ -609,20 +656,32 @@ def main():
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
-        }))
+        })
+    elif mode == "qa_host_t4":
+        ms = bench_qa_host(quant="tier_int4")
+        emit({
+            "metric": "QA latency p50 with host-tier hits, INT4 HOST TIER "
+                      "over a bf16 device store (packed-nibble pages: "
+                      "quarter-size cold-path transfers, device window "
+                      "untouched; cold prefetch table), llava-ov-0.5b "
+                      "shapes; error bound in test_host_tier.py",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
+        })
     elif mode == "qa_host_kvq":
         ms = bench_qa_host(quant="kv_int8")
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 with host-tier hits, DEVICE int8 KV "
                       "pages end to end (store+host tier int8; cold "
                       "prefetch table), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
+        })
     elif mode == "qa_host":
         ms = bench_qa_host()
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 with host-tier hits (top-64 retrieval "
                       "entirely from host RAM, cold prefetch table, + 40-token "
                       "prefill + 16-token decode, llava-ov-0.5b shapes; "
@@ -633,12 +692,12 @@ def main():
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
+        })
     elif mode == "serving":
         fused_ms, unfused_ms = bench_serving()
         routed_ms = min(fused_ms, unfused_ms)
         pick = "fused" if fused_ms <= unfused_ms else "unfused"
-        print(json.dumps({
+        emit({
             "metric": "ROUTED serving tick p50 (4 multiplexed streams: "
                       f"ragged {CHUNK}-frame encode + 4 per-stream questions "
                       "with 16-token decode; sessions probe the fused "
@@ -650,17 +709,17 @@ def main():
             "value": round(routed_ms, 1),
             "unit": "ms",
             "vs_baseline": round(unfused_ms / routed_ms, 3),
-        }))
+        })
     elif mode == "qa_host_warm":
         ms = bench_qa_host(warm=True)
-        print(json.dumps({
+        emit({
             "metric": "QA latency p50 with host-tier hits, WARM prefetch "
                       "table (repeat/related questions: one dispatch, zero "
                       "host->device traffic), llava-ov-0.5b shapes",
             "value": round(ms, 1),
             "unit": "ms",
             "vs_baseline": round(1000.0 / ms, 3),  # questions/sec
-        }))
+        })
     else:
         raise SystemExit(f"unknown BENCH_MODE={mode}")
 

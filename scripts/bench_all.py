@@ -23,7 +23,7 @@ TRANSFER_BOUND_NOTE = (
     "probed MB/s (see PLATFORM_NOTES.md); compute-bound modes are stable")
 TRANSFER_BOUND = {"ingest", "ingest_kvq", "ingest_kvq4", "multistream",
                   "multistream_staged", "serving", "qa_host",
-                  "qa_host_kvq", "qa_host_kvq4"}
+                  "qa_host_kvq", "qa_host_kvq4", "qa_host_t4"}
 
 MODES = [
     ("ingest", {}),
@@ -33,6 +33,7 @@ MODES = [
     ("qa", {}),
     ("qa_spec", {}),
     ("qa_host", {}),
+    ("qa_host_t4", {}),
     ("qa_host_kvq", {}),
     ("qa_host_kvq4", {}),
     ("qa_host_warm", {}),
@@ -82,6 +83,12 @@ def main():
     for mode, extra in MODES:
         if only and mode not in only:
             continue
+        # PER-MODE link stamp: the bulk probe ran once per invocation in
+        # rounds 2-4, which let mid-run relay dips masquerade as code
+        # regressions (PLATFORM_NOTES.md "int4-ingest bench dip").  A fresh
+        # probe immediately before each mode pins the link state the mode's
+        # samples were actually measured under.
+        mode_link = probe_link() if mode in TRANSFER_BOUND else link
         env = {**os.environ, "BENCH_MODE": mode, **extra}
         try:
             r = subprocess.run(
@@ -92,7 +99,7 @@ def main():
             report[mode] = json.loads(line)
             # transfer-bound numbers are only interpretable with the link
             # state they were measured under
-            report[mode]["link_health_mbps"] = link
+            report[mode]["link_health_mbps"] = mode_link
             if mode in TRANSFER_BOUND:
                 report[mode]["note"] = TRANSFER_BOUND_NOTE
         except subprocess.TimeoutExpired:

@@ -59,9 +59,14 @@ def cost_of(lowered_compiled):
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else None
     ca = ca or {}
+    # XLA returns -1 for optimal_seconds when it has no estimate (and sums
+    # of per-op -1s go arbitrarily negative on big programs) — map any
+    # non-positive value to None instead of shipping impossible numbers
+    # (round-4 ROOFLINE.json carried -990..-2978 ms).
+    opt = float(ca.get("optimal_seconds", 0.0))
     return (float(ca.get("flops", 0.0)),
             float(ca.get("bytes accessed", 0.0)),
-            float(ca.get("optimal_seconds", 0.0)))
+            opt if opt > 0.0 else None)
 
 
 def fetch_sync(tree):
@@ -103,7 +108,8 @@ def analyze(name, measured_s, flops, bytes_acc, xla_opt_s, peaks):
         "measured_ms": round(measured_s * 1e3, 3),
         "sol_ms_spec": round(sol_s * 1e3, 3),
         "sol_ms_measured_ceiling": round(sol_eff_s * 1e3, 3),
-        "xla_optimal_ms": round(xla_opt_s * 1e3, 3),
+        "xla_optimal_ms": (round(xla_opt_s * 1e3, 3)
+                           if xla_opt_s is not None else None),
         "achieved_tflops": round(flops / measured_s / 1e12, 2),
         "achieved_gbs": round(bytes_acc / measured_s / 1e9, 2),
         "pct_of_sol_spec": round(100 * sol_s / measured_s, 1),
@@ -238,6 +244,15 @@ def finish(rows, args):
             "host->device round trip of a trivial jit on this relay; an "
             "N-dispatch step cannot beat N x this floor regardless of "
             "kernel quality",
+        "bytes_accessed_note":
+            "XLA's 'bytes accessed' counts every operand/output of every op "
+            "at HLO level: state carried through a lax.scan/while body is "
+            "charged per iteration even though it stays resident in HBM, so "
+            "programs with scan-carried KV state OVERCOUNT real traffic "
+            "(round-4 finding: the scan-carry restructure RAISED "
+            "bytes_accessed while measuring faster).  Treat bytes_accessed "
+            "as an upper bound for cross-program comparisons; measured_ms "
+            "is the ground truth.",
         "steps": rows,
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
