@@ -656,7 +656,8 @@ def serve_step(params, cfg: Qwen2Config, rekv: ReKVConfig, kvs: StreamKV,
                q_len: jax.Array, p_ids: jax.Array, p_len: jax.Array,
                stop_ids: jax.Array, max_new_tokens: int,
                attn_backend: str = "jnp", win_pages: int | None = None,
-               hist_ids=None, hist_len=None):
+               hist_ids=None, hist_len=None,
+               unroll_retrieve: bool = True):
     """PHASE-HETEROGENEOUS serving tick in ONE dispatch: ragged-encode a
     chunk into the `active` streams, then answer per-stream questions over
     the post-encode state (retrieval + prefill + greedy decode).
@@ -671,14 +672,16 @@ def serve_step(params, cfg: Qwen2Config, rekv: ReKVConfig, kvs: StreamKV,
     _, kvs = encode_step(params, cfg, rekv, kvs, embeds, is_init=False,
                          attn_backend=attn_backend, win_pages=win_pages,
                          active=active)
-    # the retrieval layer scan is UNROLLED here: a second while loop over
-    # the page store makes XLA assign it a different layout than the encode
-    # loop's and pay full-store relayout copies (docs/serving.md); the
-    # straight-line bodies read the store in the encode loop's layout
+    # the retrieval layer scan defaults to UNROLLED here: a second while
+    # loop over the page store can make XLA assign it a different layout
+    # than the encode loop's and pay full-store relayout copies
+    # (docs/serving.md); the layout commit (runtime/session.py) removes
+    # those copies either way — scripts/probe_serve_unroll.py measures
+    # which formulation wins under committed layouts
     tokens, count = answer_question(params, cfg, rekv, kvs, q_ids, q_len,
                                     p_ids, p_len, stop_ids, max_new_tokens,
                                     hist_ids=hist_ids, hist_len=hist_len,
-                                    unroll_retrieve=True)
+                                    unroll_retrieve=unroll_retrieve)
     return kvs, tokens, count
 
 

@@ -141,6 +141,12 @@ class StreamingSession:
         self.mesh = mesh
         self.pp = (int(mesh.shape["pp"])
                    if mesh is not None and "pp" in mesh.shape else 1)
+        self.sp = (int(mesh.shape["sp"])
+                   if mesh is not None and "sp" in mesh.shape else 1)
+        assert self.pp == 1 or self.sp == 1, (
+            "sp (sequence-parallel prefill) composes with dp/tp via GSPMD; "
+            "pp runs its own stage-relay schedule — build either a "
+            "dp x sp x tp mesh or a pp x tp mesh, not both")
         # fused-vs-unfused serving ticks route on live measurements
         self._serve_router = _ServeRouter()
 
@@ -234,6 +240,8 @@ class StreamingSession:
 
         if self.pp > 1:
             self._init_pp()
+        elif self.sp > 1:
+            self._init_sp()
 
         from stc_tpu.kvcache.engine import n_window_pages
         self._window_pages = n_window_pages(rc)
@@ -304,11 +312,54 @@ class StreamingSession:
         sds = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                            (embeds, active, q_ids, q_len, p_ids, p_len,
                             stop_ids))
-        comp = probe.lower(self.params, self.kvs, *sds).compile()
+        kvs_sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.kvs)
+        comp = probe.lower(self.params, kvs_sds, *sds).compile()
         self._kvs_fmt = type(self.kvs)(*comp.input_formats[0][1])
         del comp, probe
         self.kvs = jax.device_put(self.kvs, self._kvs_fmt)
         self._build_kv_jits()
+
+    # ------------------------------------------------------------------ #
+    def _init_sp(self):
+        """SEQUENCE-PARALLEL LM prefill (dp x sp x tp mesh, no 'pp' axis):
+        params take the Megatron tp layout, the page store shards by
+        stream (dp) and kv-head (tp), and every encode append's TOKEN axis
+        shards over 'sp' (_place_embeds).  No collective is hand-written —
+        GSPMD keeps each sp shard's queries token-local through QKV,
+        windowed attention, and the MLP, and all-gathers only the chunk's
+        NEW K/V rows (T x Hkv x D, tiny next to the window) over ICI at
+        the store write.  The reference has no sequence parallelism of any
+        kind (SURVEY.md §2.5); vision-side sp (parallel/sharding.
+        shard_vision_sp) composes on the same mesh.  Numerical equality
+        with the sequential session: tests/test_sp.py."""
+        from stc_tpu.parallel.sharding import (qwen2_param_specs,
+                                               shard_pytree)
+        mesh, mc, rc = self.mesh, self.mcfg, self.rekv
+        assert "dp" in mesh.shape and "tp" in mesh.shape, (
+            "sp sessions want the make_mesh(dp, tp, sp) axis set; got "
+            f"{tuple(mesh.shape)}")
+        assert self.batch % int(mesh.shape["dp"]) == 0, (
+            self.batch, dict(mesh.shape))
+        assert mc.num_kv_heads % int(mesh.shape["tp"]) == 0, (
+            mc.num_kv_heads, dict(mesh.shape))
+        self.params = shard_pytree(self.params,
+                                   qwen2_param_specs(self.params), mesh)
+
+    def _place_embeds(self, feats):
+        """Shard an encode append's (B, T, E) embeds over the sp mesh:
+        tokens over 'sp' when T divides evenly (exc-sized chunks by
+        construction), streams over 'dp' always.  Identity off-mesh."""
+        if self.sp == 1:
+            return feats
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = (P("dp", "sp", None) if feats.shape[1] % self.sp == 0
+                else P("dp", None, None))
+        return jax.device_put(feats, NamedSharding(self.mesh, spec))
+
+    def _place_kvs_sp(self, kvs):
+        from stc_tpu.parallel.sharding import shard_pytree, stream_kv_specs
+        return shard_pytree(kvs, stream_kv_specs(), self.mesh)
 
     # ------------------------------------------------------------------ #
     def _init_pp(self):
@@ -386,6 +437,8 @@ class StreamingSession:
                                         self.state_dtype)
         if self.pp > 1:
             self.kvs = self._place_kvs_pp(self.kvs)
+        elif self.sp > 1:
+            self.kvs = self._place_kvs_sp(self.kvs)
         elif self._kvs_fmt is not None:
             # a serving session that already committed keeps the serve-
             # preferred layout across clear_cache (its jits are pinned to it)
@@ -566,12 +619,13 @@ class StreamingSession:
         for i in range(0, T, exc):
             n = min(exc, T - i) // S
             self._maybe_evict(n)
+            chunk = self._place_embeds(feats[:, i:i + n * S])
             if act_dev is None:
                 _, self.kvs = self._encode_block(
-                    self.params, kvs=self.kvs, embeds=feats[:, i:i + n * S])
+                    self.params, kvs=self.kvs, embeds=chunk)
             else:
                 _, self.kvs = self._encode_block(
-                    self.params, kvs=self.kvs, embeds=feats[:, i:i + n * S],
+                    self.params, kvs=self.kvs, embeds=chunk,
                     active=act_dev)
             self._track_blocks(n, active=act_np)
 
@@ -658,7 +712,8 @@ class StreamingSession:
         Returns (tokens (B, M) np, count (B,) np).
         Falls back to encode + QA dispatches on the host-tier/ablation paths.
         """
-        feats = jnp.asarray(feats, qw.param_dtype(self.params))
+        feats = self._place_embeds(
+            jnp.asarray(feats, qw.param_dtype(self.params)))
         B, T, E = feats.shape
         rc = self.rekv
         S = rc.block_size

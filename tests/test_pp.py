@@ -342,3 +342,27 @@ def test_pp_session_composes_with_tp():
     a_seq = seq.question_answering([5, 6], [7, 8], [0], max_new_tokens=5)
     a_pp = pps.question_answering([5, 6], [7, 8], [0], max_new_tokens=5)
     assert a_seq == a_pp
+
+
+def test_pp_hosttier_eviction_fails_fast():
+    """Host-tier eviction under pp is an UNSUPPORTED capability
+    intersection (the two-tier QA paths are not pp-wired): streaming past
+    max_blocks on a pp session must raise the clear RuntimeError BEFORE
+    touching device state, not evict into a broken path (docs/serving.md
+    documents the limit and the workaround: raise max_blocks — the store's
+    per-chip HBM already divides by pp)."""
+    import dataclasses
+    from stc_tpu.config import SessionConfig
+    from stc_tpu.runtime.session import StreamingSession
+    cfg, rekv, _, _ = _sess_pair(2, n_layers=4, seed=12)
+    # small store: 8 pages total, window needs 24/4 + margins
+    rekv_small = dataclasses.replace(rekv, max_blocks=8)
+    pps = StreamingSession(qw.init_params(cfg, jax.random.key(12)), cfg,
+                           SessionConfig(rekv=rekv_small),
+                           state_dtype=jnp.float32, mesh=_pp_mesh(2))
+    rng = np.random.default_rng(14)
+    pps.encode_init_prompt([1, 2, 3, 4])
+    feats = rng.normal(size=(1, 8 * 4, cfg.hidden_size)).astype(np.float32)
+    pps.encode_video_features(feats)  # fills the 8-page store exactly
+    with pytest.raises(RuntimeError, match="not supported under pipeline"):
+        pps.encode_video_features(feats[:, :8])

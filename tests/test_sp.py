@@ -109,3 +109,84 @@ def test_make_mesh_sp_axis_names():
     assert mesh.shape["sp"] == 2
     legacy = make_mesh(dp=4, tp=2)
     assert legacy.axis_names == ("dp", "tp")
+
+
+def test_sp_lm_session_matches_sequential():
+    """LM-PREFILL sequence parallelism through the session API: a
+    StreamingSession built with a dp x sp x tp mesh shards every encode
+    append's token axis over 'sp' (plus Megatron tp on params and
+    dp/tp on the page store) and must answer EXACTLY like the sequential
+    session — sharding is layout, never semantics.  tp=1 arm asserts
+    bit-equality (no psum reorders); tp=2 arm allows reduction-order
+    noise."""
+    from stc_tpu.config import ReKVConfig, SessionConfig
+    from stc_tpu.runtime.session import StreamingSession
+
+    mcfg = qw.Qwen2Config(vocab_size=128, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=16,
+                          intermediate_size=128, rope_base=10000.0)
+    rekv = ReKVConfig(n_init=4, n_local=64, block_size=8, exc_block_size=16,
+                      topk=4, chunk_size=1, max_blocks=32,
+                      max_prompt_tokens=16, max_new_tokens=8,
+                      host_kv_quant="none")
+    params = qw.init_params(mcfg, jax.random.key(3))
+    rng = np.random.default_rng(4)
+    B = 2
+    feats = rng.normal(size=(B, 8 * 16, mcfg.hidden_size)).astype(np.float32)
+    q, p = [5, 6], [7, 8, 9]
+
+    def run(mesh):
+        s = StreamingSession(params, mcfg, SessionConfig(rekv=rekv),
+                             batch=B, state_dtype=jnp.float32, mesh=mesh)
+        s.encode_init_prompt([1, 2, 3, 4])
+        s.encode_video_features(feats)
+        ans = s.question_answering(q, p, [0], max_new_tokens=6)
+        # serve tick on the sp mesh: ragged encode + QA in one dispatch
+        tok, cnt = s.serve(feats[:, :16], None, [q, q], [p, p], [0],
+                           max_new_tokens=4)
+        return ans, np.asarray(tok), np.asarray(cnt), s
+
+    ans_ref, tok_ref, cnt_ref, _ = run(None)
+
+    sess_sp = None
+    for dp, sp, tp in ((2, 4, 1), (2, 2, 2)):
+        mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+        ans, tok, cnt, sess_sp = run(mesh)
+        assert sess_sp.sp == sp
+        if tp == 1:
+            assert ans == ans_ref, (dp, sp, tp)
+            np.testing.assert_array_equal(tok, tok_ref)
+            np.testing.assert_array_equal(cnt, cnt_ref)
+        else:
+            # tp psums reorder float adds; greedy argmax ties can flip a
+            # token only if logits collide — equal answers still expected
+            # on this seed
+            assert ans == ans_ref, (dp, sp, tp)
+
+    # the store lives distributed on the mesh (placement specs constrain
+    # the INPUTS; GSPMD owns output shardings, which may permute the axes)
+    from jax.sharding import NamedSharding
+    shd = sess_sp.kvs.block_k.sharding
+    assert isinstance(shd, NamedSharding)
+    assert not shd.is_fully_replicated
+    assert len(shd.device_set) == 8
+
+
+def test_sp_pp_mesh_rejected():
+    from stc_tpu.config import ReKVConfig, SessionConfig
+    from stc_tpu.runtime.session import StreamingSession
+    from jax.sharding import Mesh
+    import pytest as _pytest
+
+    mcfg = qw.Qwen2Config(vocab_size=128, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=2, head_dim=16,
+                          intermediate_size=128, rope_base=10000.0)
+    rekv = ReKVConfig(n_init=4, n_local=64, block_size=8, exc_block_size=16,
+                      topk=4, chunk_size=1, max_blocks=32,
+                      max_prompt_tokens=16, max_new_tokens=8)
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, axis_names=("pp", "sp"))
+    params = qw.init_params(mcfg, jax.random.key(0))
+    with _pytest.raises(AssertionError, match="sp .*composes with dp/tp"):
+        StreamingSession(params, mcfg, SessionConfig(rekv=rekv), batch=2,
+                         mesh=mesh)
