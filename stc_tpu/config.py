@@ -191,6 +191,17 @@ class CacherConfig:
     # — bit-equal, rides the MXU instead of the ~20 GB/s gather path), or
     # 'auto' (onehot on accelerators, index on CPU)
     gather_impl: str = "auto"
+    # K-projection proxy rank (0 = off, reference-exact).  When > 0 and
+    # sim_source == 'key', the cached layer skips the full fresh-K
+    # projection (its single largest matmul): staleness is ranked on
+    # rank-r JL sketches of fresh vs reference K, fresh K is projected only
+    # at the selected rows, and attention logits decompose against the
+    # shared reference K plus a (U x U) correction at the updated columns
+    # (models/siglip.py:_layer_cached).  Non-selected tokens attend through
+    # their reference keys — the same staleness contract the cacher already
+    # applies to V/attn/MLP.  Beyond-reference knob; 64-128 ranks the same
+    # tokens as the exact cosine in practice (test_vision.py).
+    k_proxy_rank: int = 0
 
     @property
     def enabled(self) -> bool:

@@ -109,7 +109,9 @@ class FrameEncoder:
         def _cached(params, pixels, cacher, pruner_state):
             feats = sg.encode_cached(params["vision"], vc, pixels, cacher,
                                      scfg.cacher.update_token_ratio,
-                                     gather_impl=scfg.cacher.gather_impl)
+                                     sim_source=scfg.cacher.sim_source,
+                                     gather_impl=scfg.cacher.gather_impl,
+                                     k_proxy_rank=scfg.cacher.k_proxy_rank)
             out, idx, pruner_state = _post(feats, pruner_state)
             return out, idx, cacher, pruner_state
 
@@ -241,7 +243,8 @@ class LlavaOVVision(VisionPipeline):
                                  vstate, self.scfg.cacher.update_token_ratio,
                                  sim_source=self.scfg.cacher.sim_source,
                                  n_streams=self.batch,
-                                 gather_impl=self.scfg.cacher.gather_impl)
+                                 gather_impl=self.scfg.cacher.gather_impl,
+                                 k_proxy_rank=self.scfg.cacher.k_proxy_rank)
         flat, pstate = self._post(params, feats, pstate)
         return flat, vstate, pstate
 

@@ -172,8 +172,28 @@ def _layer_full(lp, h, cfg: SiglipConfig):
     return h, (k_full, v_full, attn, mlp)
 
 
+_KPROXY_R_CACHE: dict = {}
+
+
+def _kproxy_matrix(C: int, rank: int, dtype) -> jax.Array:
+    """Fixed Johnson-Lindenstrauss sketch (C, rank), N(0,1)/sqrt(rank)
+    entries from a pinned seed: cosine similarity of the projected vectors
+    approximates cosine of the originals within ~sqrt(log T / rank), which
+    is all a top-k RANKING needs.  Cached per (C, rank, dtype) as a NUMPY
+    array (never a jax value: building it under an active trace would cache
+    a tracer — it closes over call sites as a jaxpr constant instead)."""
+    import numpy as _np
+    key = (C, rank, jnp.dtype(dtype).name)
+    if key not in _KPROXY_R_CACHE:
+        r = _np.random.default_rng(42).standard_normal((C, rank))
+        _KPROXY_R_CACHE[key] = (r / _np.sqrt(rank)).astype(
+            _np.float32).astype(jnp.dtype(dtype))  # ml_dtypes handles bf16
+    return _KPROXY_R_CACHE[key]
+
+
 def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
-                  sim_source: str = "key", gather_impl: str = "auto"):
+                  sim_source: str = "key", gather_impl: str = "auto",
+                  k_proxy_rank: int = 0):
     """Selective-recompute layer (custom_siglip.py:115-224; the V-similarity
     variant of custom_siglip.py:260-447 gates on fresh-V-vs-reference-V
     instead).
@@ -195,6 +215,21 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
         (streams the ref once) + a row-granular scatter of the recomputed
         tokens — bit-identical to scattering a full buffer first, without
         writing one.
+
+    k_proxy_rank > 0 (key-sim only; BEYOND REFERENCE): the full fresh-K
+    projection — the cached layer's single largest matmul, F*T*C*C — is
+    replaced end to end:
+      - staleness is RANKED on rank-r JL sketches of fresh vs reference K
+        (the selection is a ranking, not a value computation: the exact and
+        sketched cosines order clearly-changed tokens identically);
+      - fresh K is projected only at the U selected rows;
+      - attention logits decompose like V already does:
+          q_sel @ K_scattered^T = q_sel @ ref_K^T (shared (T, C) ref, read
+          once) + a (U x U) correction at the updated columns.
+    Non-selected tokens attend through their REFERENCE keys, which the
+    gating itself certifies as near-identical — the same approximation
+    contract the cacher already applies to V/attn/MLP.  The default (0)
+    keeps the reference-exact fresh-K path.
     """
     eps = cfg.layer_norm_eps
     ref_k, ref_v, ref_attn, ref_mlp = refs
@@ -207,9 +242,9 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
         # x+0 are exact in every dtype)
         gather_impl = "index" if jax.default_backend() == "cpu" else "onehot"
     onehot = gather_impl == "onehot"
+    k_proxy = int(k_proxy_rank) if sim_source == "key" else 0
 
     hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
-    k_full = hn @ lp["wk"] + lp["bk"]                       # (F, T, C)
 
     def _cos(a, ref):
         af = a.astype(jnp.float32)
@@ -219,9 +254,20 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
             * jnp.linalg.norm(rf, axis=-1) + 1e-8)
 
     if sim_source == "value":
+        k_full = hn @ lp["wk"] + lp["bk"]                   # (F, T, C)
         v_fresh = hn @ lp["wv"] + lp["bv"]
         sim = _cos(v_fresh, ref_v)
+    elif k_proxy:
+        # rank-r sketch of fresh K without forming it: (wk @ R) is a
+        # (C, r) matmul — ~C/r of the full projection's FLOPs
+        R = _kproxy_matrix(C, k_proxy, h.dtype)
+        wkr = lp["wk"] @ R
+        bkr = lp["bk"] @ R
+        # ref_k is a saved FULL projection (bias already inside); only the
+        # fresh side needs the sketched bias added
+        sim = _cos(hn @ wkr + bkr, ref_k @ R)
     else:
+        k_full = hn @ lp["wk"] + lp["bk"]                   # (F, T, C)
         sim = _cos(k_full, ref_k)
 
     # least-similar tokens get recomputed
@@ -276,9 +322,34 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
         #     = probs @ ref_V  +  probs[:, upd] @ (V_fresh - ref_V)[upd]
         v_sel = toks @ lp["wv"] + lp["bv"]                   # (F, U, C)
         qh = q_sel.reshape(F_, U, H, D).transpose(0, 2, 1, 3)
-        kh = k_full.reshape(F_, T, H, D).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("fhud,fhtd->fhut", qh, kh,
-                            preferred_element_type=jnp.float32) * (D ** -0.5)
+        if k_proxy:
+            # logits against K_scattered without forming fresh K:
+            #   q_sel @ K_scattered^T = q_sel @ ref_K^T
+            #                         + q_sel @ (K_sel - ref_K[upd])^T at
+            #                           the updated columns
+            # (the K twin of the V decomposition below; ref read once at
+            # (T, C), fresh K projected at the U selected rows only)
+            k_sel = toks @ lp["wk"] + lp["bk"]               # (F, U, C)
+            rkh = ref_k[0].reshape(T, H, D)
+            logits = jnp.einsum("fhud,thd->fhut", qh, rkh,
+                                preferred_element_type=jnp.float32)
+            dk = (k_sel - rows_shared(ref_k[0])).reshape(F_, U, H, D)
+            corr = jnp.einsum("fhud,fwhd->fhuw", qh,
+                              dk.astype(qh.dtype),
+                              preferred_element_type=jnp.float32)
+            if onehot:
+                logits = logits + jnp.einsum(
+                    "fhuw,fwt->fhut", corr, G.astype(jnp.float32))
+            else:
+                logits = jax.vmap(
+                    lambda b, c, i: b.at[:, :, i].add(c)
+                )(logits, corr, upd_idx)
+            logits = logits * (D ** -0.5)
+        else:
+            kh = k_full.reshape(F_, T, H, D).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("fhud,fhtd->fhut", qh, kh,
+                                preferred_element_type=jnp.float32
+                                ) * (D ** -0.5)
         p = jax.nn.softmax(logits, axis=-1).astype(q_sel.dtype)
         rvh = ref_v[0].reshape(T, H, D)                      # shared ref, (T,H,D)
         o = jnp.einsum("fhut,thd->fhud", p, rvh,
@@ -350,7 +421,8 @@ def encode_full(params, cfg: SiglipConfig, pixels: jax.Array,
 def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
                   cacher: CacherState, update_ratio: float,
                   sim_source: str = "key", n_streams: int = 1,
-                  gather_impl: str = "auto") -> jax.Array:
+                  gather_impl: str = "auto",
+                  k_proxy_rank: int = 0) -> jax.Array:
     """Selective-recompute chunk: returns features; cacher unchanged.
 
     With n_streams > 1, frames are stream-major on the leading axis and each
@@ -364,13 +436,13 @@ def encode_cached(params, cfg: SiglipConfig, pixels: jax.Array,
         lp, rk, rv, ra, rm = xs
         if n_streams == 1:
             h = _layer_cached(lp, h, (rk, rv, ra, rm), num_update, cfg,
-                              sim_source, gather_impl)
+                              sim_source, gather_impl, k_proxy_rank)
         else:
             hb = h.reshape(n_streams, BF // n_streams, T, C)
             h = jax.vmap(
                 lambda hs, a, b, c, d: _layer_cached(
                     lp, hs, (a[None], b[None], c[None], d[None]),
-                    num_update, cfg, sim_source, gather_impl)
+                    num_update, cfg, sim_source, gather_impl, k_proxy_rank)
             )(hb, rk, rv, ra, rm).reshape(BF, T, C)
         return h, None
 

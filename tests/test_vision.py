@@ -239,3 +239,114 @@ def test_onehot_gather_impl_bit_identical(hf_siglip):
                          update_ratio=0.25, n_streams=2,
                          gather_impl="onehot")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# K-proxy cacher (low-rank staleness ranking + ref-K logits decomposition)
+# ---------------------------------------------------------------------------
+
+def test_kproxy_ratio_one_equals_full(hf_siglip):
+    """k_proxy_rank > 0 with update_ratio=1.0: every row is selected, so
+    K_scattered == fresh K everywhere and the decomposed logits must equal
+    the full path up to f32 rounding (the sketch only RANKS; at ratio 1.0
+    the ranking is irrelevant)."""
+    _, cfg, params = hf_siglip
+    rng = np.random.default_rng(11)
+    ref = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+    new = rng.normal(size=(2, 3, 56, 56)).astype(np.float32)
+    cacher = sg.init_cacher_state(cfg, 1)
+    _, cacher = sg.encode_full(params, cfg, jnp.asarray(ref), cacher)
+    want, _ = sg.encode_full(params, cfg, jnp.asarray(new),
+                             sg.init_cacher_state(cfg, 1))
+    for impl in ("index", "onehot"):
+        got = sg.encode_cached(params, cfg, jnp.asarray(new), cacher,
+                               update_ratio=1.0, gather_impl=impl,
+                               k_proxy_rank=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_kproxy_ranks_clearly_stale_tokens_like_exact_cosine():
+    """The JL sketch must rank clearly-changed tokens below unchanged ones
+    exactly as the full cosine does: perturb a known patch subset (patches
+    map 1:1 to ViT tokens), compare top-k sets of the exact and sketched
+    staleness scores."""
+    cfg = sg.SiglipConfig.tiny()
+    params = sg.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    T, C = cfg.num_tokens, cfg.hidden_size
+    hn = rng.normal(size=(1, T, C)).astype(np.float32)
+    hn_ref = hn.copy()
+    stale = np.array([2, 5, 11, 14])
+    hn[0, stale] = rng.normal(size=(len(stale), C)).astype(np.float32)
+
+    wk = np.asarray(params["layers"]["wk"][0])
+    bk = np.asarray(params["layers"]["bk"][0])
+    ref_k = hn_ref @ wk + bk
+
+    def cos(a, b):
+        return np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                                    * np.linalg.norm(b, axis=-1) + 1e-8)
+
+    sim_exact = cos(hn @ wk + bk, ref_k)
+    R = np.asarray(sg._kproxy_matrix(C, 16, jnp.float32))
+    sim_proxy = cos(hn @ (wk @ R) + bk @ R, ref_k @ R)
+
+    top_exact = set(np.argsort(sim_exact[0])[:len(stale)].tolist())
+    top_proxy = set(np.argsort(sim_proxy[0])[:len(stale)].tolist())
+    assert top_exact == top_proxy == set(stale.tolist())
+
+
+def test_kproxy_matches_exact_cacher_on_locally_perturbed_chunk():
+    """One-layer tower, new chunk == reference chunk except at a few patches:
+    both the exact and proxy paths must select exactly the perturbed tokens,
+    the non-selected columns' fresh K is bit-equal to the reference K, so the
+    proxy's ref-K substitution is exact and the two cached outputs agree to
+    rounding."""
+    cfg = sg.SiglipConfig(hidden_size=32, num_layers=1, num_heads=4,
+                          intermediate_size=64, image_size=56, patch_size=14)
+    params = sg.init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(5)
+    # the cacher references the LAST frame of the full chunk — tile one base
+    # frame so every new frame's unperturbed rows match the reference rows
+    base = rng.normal(size=(1, 3, 56, 56)).astype(np.float32)
+    ref_pix = np.tile(base, (2, 1, 1, 1))
+    new_pix = ref_pix.copy()
+    # perturb patch (1,2) and (3,0) -> tokens 6 and 12 on the 4x4 grid
+    for (gy, gx) in ((1, 2), (3, 0)):
+        new_pix[:, :, gy*14:(gy+1)*14, gx*14:(gx+1)*14] = rng.normal(
+            size=(2, 3, 14, 14)).astype(np.float32)
+
+    cacher = sg.init_cacher_state(cfg, 1)
+    _, cacher = sg.encode_full(params, cfg, jnp.asarray(ref_pix), cacher)
+    ratio = 2 / cfg.num_tokens          # num_update == number perturbed
+    exact = sg.encode_cached(params, cfg, jnp.asarray(new_pix), cacher,
+                             update_ratio=ratio)
+    proxy = sg.encode_cached(params, cfg, jnp.asarray(new_pix), cacher,
+                             update_ratio=ratio, k_proxy_rank=16)
+    np.testing.assert_allclose(np.asarray(proxy), np.asarray(exact),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kproxy_multistream_and_value_sim_paths(hf_siglip):
+    """k_proxy through the vmapped multi-stream path (ratio=1.0 == full per
+    stream) and a no-op under sim_source='value' (the knob is key-sim only)."""
+    _, cfg, params = hf_siglip
+    rng = np.random.default_rng(13)
+    pix4 = rng.normal(size=(4, 3, 56, 56)).astype(np.float32)
+    cacher2 = sg.init_cacher_state(cfg, 2)
+    _, cacher2 = sg.encode_full(params, cfg, jnp.asarray(pix4), cacher2,
+                                n_streams=2)
+    got = sg.encode_cached(params, cfg, jnp.asarray(pix4), cacher2,
+                           update_ratio=1.0, n_streams=2, k_proxy_rank=16)
+    want, _ = sg.encode_full(params, cfg, jnp.asarray(pix4),
+                             sg.init_cacher_state(cfg, 2), n_streams=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+    a = sg.encode_cached(params, cfg, jnp.asarray(pix4), cacher2,
+                         update_ratio=0.25, n_streams=2,
+                         sim_source="value", k_proxy_rank=16)
+    b = sg.encode_cached(params, cfg, jnp.asarray(pix4), cacher2,
+                         update_ratio=0.25, n_streams=2, sim_source="value")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
