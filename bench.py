@@ -89,7 +89,9 @@ def build(batch=1, seven_b=False, kv_quant="none", chunk=None, spec=0,
                         spec_decode_draft=spec,
                         spec_history_tokens=spec_history),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.25,
-                            cache_interval=2),
+                            cache_interval=2,
+                            k_proxy_rank=int(
+                                os.getenv("STC_K_PROXY_RANK", "0"))),
         pruner=PrunerConfig(token_per_frame=60),
         encode_chunk_frames=chunk,
         ingest_format=ingest,
