@@ -90,6 +90,7 @@ def build(batch=1, seven_b=False, kv_quant="none", chunk=None, spec=0,
                         spec_history_tokens=spec_history),
         cacher=CacherConfig(strategy="cacher", update_token_ratio=0.25,
                             cache_interval=2,
+                            gather_impl=os.getenv("STC_GATHER_IMPL", "auto"),
                             k_proxy_rank=int(
                                 os.getenv("STC_K_PROXY_RANK", "0"))),
         pruner=PrunerConfig(token_per_frame=60),
@@ -293,8 +294,10 @@ def autotune_multistream(staged=False):
     """
     if os.getenv("BENCH_CHUNK_FRAMES") is not None:
         fmt = os.getenv("BENCH_INGEST_FORMAT", "rgb")
-        return (bench_ingest(batch=4, staged=staged, ingest=fmt),
-                f"{CHUNK}-frame {fmt} chunks")
+        kvq = os.getenv("BENCH_KV_QUANT", "none")
+        return (bench_ingest(batch=4, staged=staged, ingest=fmt,
+                             kv_quant=kvq),
+                f"{CHUNK}-frame {fmt} chunks, kv={kvq}")
     # candidates: chunk size x ingest format.  yuv420 ships packed 4:2:0
     # planes at HALF the bytes/frame (production video is stored 4:2:0 —
     # the decoder hands planes over for free; chroma upsample + BT.601
@@ -306,24 +309,32 @@ def autotune_multistream(staged=False):
     import subprocess
     child_mode = "multistream_staged" if staged else "multistream"
     results = {}
-    for c, fmt in ((2, "rgb"), (2, "yuv420"), (4, "yuv420")):
+    # int4 KV pages quarter the B=4 page-store traffic (round-5 #7); the
+    # quant/dequant rides the encode jit so the only cost is in-kernel
+    # nibble math — probe it alongside the transfer-format candidates.
+    for c, fmt, kvq in ((2, "rgb", "none"), (2, "yuv420", "none"),
+                        (4, "yuv420", "none"), (2, "yuv420", "int4")):
         env = dict(os.environ, BENCH_MODE=child_mode,
-                   BENCH_CHUNK_FRAMES=str(c), BENCH_INGEST_FORMAT=fmt)
+                   BENCH_CHUNK_FRAMES=str(c), BENCH_INGEST_FORMAT=fmt,
+                   BENCH_KV_QUANT=kvq)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
                            timeout=1800)
         lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         d = (json.loads(lines[-1])
              if (r.returncode == 0 and lines) else {"value": 0.0})
-        results[(c, fmt)] = d["value"]
+        results[(c, fmt, kvq)] = d["value"]
         # propagate the winning candidate's per-pass samples to the report
-        results[(c, fmt, "samples")] = d.get("samples", [])
-    best = max((k for k in results if len(k) == 2), key=results.get)
-    record_samples(results.get((best[0], best[1], "samples"), []))
-    probed = ", ".join(f"C{c}/{f}={results[(c, f)]:.1f}"
-                       for c, f in sorted(k for k in results if len(k) == 2))
-    return results[best], (f"{best[0]}-frame {best[1]} chunks auto-tuned to "
-                           f"the live link (probed {probed} fps)")
+        results[(c, fmt, kvq, "samples")] = d.get("samples", [])
+    best = max((k for k in results if len(k) == 3), key=results.get)
+    record_samples(results.get(best + ("samples",), []))
+    probed = ", ".join(
+        f"C{c}/{f}/{q}={results[(c, f, q)]:.1f}"
+        for c, f, q in sorted(k for k in results if len(k) == 3))
+    kv_tag = "" if best[2] == "none" else f" + {best[2]} KV pages"
+    return results[best], (f"{best[0]}-frame {best[1]} chunks{kv_tag} "
+                           f"auto-tuned to the live link (probed {probed} "
+                           "fps)")
 
 
 def link_probe_mbps() -> float:

@@ -287,6 +287,7 @@ class SessionConfig:
             strategy=os.getenv("STC_CACHE_STRATEGY", "cacher"),
             update_token_ratio=float(os.getenv("STC_UPDATE_TOKEN_RATIO", "0.25")),
             cache_interval=int(os.getenv("STC_CACHE_INTERVAL", "2")),
+            gather_impl=os.getenv("STC_GATHER_IMPL", "auto"),
             k_proxy_rank=int(os.getenv("STC_K_PROXY_RANK", "0")),
         )
         pruner = PrunerConfig(

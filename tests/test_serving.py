@@ -271,14 +271,15 @@ def test_serve_router_probe_schedule_and_decision():
     then routes every later tick of that shape to the measured winner;
     ties prefer fused (one dispatch)."""
     from stc_tpu.runtime.session import _ServeRouter
+    n_probe = 1 + _ServeRouter.N_TIME  # warm sample discarded + timed ones
     r = _ServeRouter("auto")
     key = ("feat", 8, 8, 8, 4)
-    # fused arm: compile 50ms, timed 5/3
-    for t in (0.050, 0.005, 0.003):
+    # fused arm: warm 50ms discarded, timed 5/3/4
+    for t in (0.050, 0.005, 0.003, 0.004)[:n_probe]:
         assert r.plan(key) == "fused"
         r.record(key, True, t)
-    # unfused arm: compile 40ms, timed 4/2 -> unfused wins (2 < 3)
-    for t in (0.040, 0.004, 0.002):
+    # unfused arm: warm 40ms discarded, timed 4/2/5 -> unfused wins (2 < 3)
+    for t in (0.040, 0.004, 0.002, 0.005)[:n_probe]:
         assert r.plan(key) == "unfused"
         r.record(key, False, t)
     assert r.plan(key) == "unfused"
@@ -289,10 +290,10 @@ def test_serve_router_probe_schedule_and_decision():
 
     # a second shape probes independently; tie -> fused
     k2 = ("feat", 16, 8, 8, 4)
-    for t in (0.1, 0.002, 0.002):
+    for t in (0.1, 0.002, 0.002, 0.002)[:n_probe]:
         assert r.plan(k2) == "fused"
         r.record(k2, True, t)
-    for t in (0.1, 0.002, 0.002):
+    for t in (0.1, 0.002, 0.002, 0.002)[:n_probe]:
         assert r.plan(k2) == "unfused"
         r.record(k2, False, t)
     assert r.plan(k2) == "fused"
@@ -313,7 +314,8 @@ def test_serve_router_in_session_routes_and_answers_identically():
     rng = np.random.default_rng(4)
     qs = [QUESTIONS[0][0], QUESTIONS[1][0]]
     ps = [QUESTIONS[0][1], QUESTIONS[1][1]]
-    expect_fused = [True, True, True, False, False, False]
+    n_probe = 1 + _ServeRouter.N_TIME
+    expect_fused = [True] * n_probe + [False] * n_probe
     for i, want_fused in enumerate(expect_fused):
         chunk = rng.normal(size=(2, 8, mcfg.hidden_size)).astype(np.float32)
         tok_a, cnt_a = sa.serve(chunk, None, qs, ps, STOP, max_new_tokens=4)
