@@ -548,7 +548,10 @@ def main():
         emit({
             "metric": "aggregate streaming ingest frames/sec/chip "
                       "(4 parallel streams, llava-ov-0.5b shapes, STC "
-                      f"cacher+pruner, {label}, steady state)",
+                      f"cacher+pruner, {label}, steady state; "
+                      f"= {fps / 4:.1f} fps per stream — multiplexing 4 "
+                      "streams through one chip costs each stream vs the "
+                      "single-stream ingest number)",
             "value": round(fps, 2),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 60.0, 3),
@@ -661,7 +664,8 @@ def main():
             "dispatch thread for the only core)")
         emit({
             "metric": f"aggregate ingest fps, 4 streams, {label}, STAGED "
-                      "transfer path (FramePrefetcher+stage_chunk) with "
+                      f"transfer path ({fps / 4:.1f} fps per stream; "
+                      "FramePrefetcher+stage_chunk) with "
                       "core-count ROUTING: the prefetcher overlaps on "
                       "multi-core hosts and degrades to synchronous "
                       f"staging otherwise; this {ncpu}-core host routed to "

@@ -80,6 +80,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-child wall clock; a degraded relay window "
+                         "can stretch one child past 30 min")
     ap.add_argument("--child", action="store_true")
     args = ap.parse_args()
     if args.child:
@@ -90,11 +93,18 @@ def main():
     for rnd in range(args.rounds):
         for label, gi, kr in CONFIGS:
             env = dict(os.environ, STC_GATHER_IMPL=gi, STC_K_PROXY_RANK=kr)
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 "--passes", str(args.passes)],
-                env=env, cwd=ROOT, capture_output=True, text=True,
-                timeout=1800)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     "--passes", str(args.passes)],
+                    env=env, cwd=ROOT, capture_output=True, text=True,
+                    timeout=args.timeout)
+            except subprocess.TimeoutExpired:
+                print(f"[{label} round {rnd}] TIMEOUT after "
+                      f"{args.timeout}s (degraded link window?) — "
+                      "skipping config this round", file=sys.stderr,
+                      flush=True)
+                continue
             lines = [ln for ln in r.stdout.splitlines()
                      if ln.startswith("PROBE")]
             if r.returncode != 0 or not lines:
