@@ -245,11 +245,15 @@ def finish(rows, args):
             "N-dispatch step cannot beat N x this floor regardless of "
             "kernel quality",
         "bytes_accessed_note":
-            "XLA's 'bytes accessed' counts every operand/output of every op "
-            "at HLO level: state carried through a lax.scan/while body is "
-            "charged per iteration even though it stays resident in HBM, so "
-            "programs with scan-carried KV state OVERCOUNT real traffic "
-            "(round-4 finding: the scan-carry restructure RAISED "
+            "XLA's 'bytes accessed' charges dynamic-slice/dynamic-update-"
+            "slice on a loop-carried buffer at the FULL buffer size per "
+            "iteration, even when the compiled program updates a small "
+            "window in place (verified round 5 with a controlled pair: the "
+            "same small-window work costed 192.9 MB written as scan xs->ys "
+            "vs 295.2 MB as carry+dyn-update-slice; an untouched dead "
+            "carry costs 0 — it is the slice ops, not the carry itself). "
+            "Programs with scan-carried KV state therefore OVERCOUNT real "
+            "traffic (round-4 finding: the scan-carry restructure RAISED "
             "bytes_accessed while measuring faster).  Treat bytes_accessed "
             "as an upper bound for cross-program comparisons; measured_ms "
             "is the ground truth.",
