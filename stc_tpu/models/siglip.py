@@ -158,10 +158,17 @@ def _layer_full(lp, h, cfg: SiglipConfig):
     frames on the batch axis, so refs are h[-1:]-shaped slices broadcast later.
     """
     eps = cfg.layer_norm_eps
+    C = cfg.hidden_size
     hn = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
     k_full = hn @ lp["wk"] + lp["bk"]
-    v_full = hn @ lp["wv"] + lp["bv"]
-    q_full = hn @ lp["wq"] + lp["bq"]
+    # q and v ride ONE concatenated matmul (each output element is the same
+    # dot product as in the separate matmuls — bit-identical — but the step
+    # dispatches one op instead of two; this relay taxes every op 40-90us,
+    # PLATFORM_NOTES.md).  k stays separate: the cached layer computes it
+    # full-width on its own and the two paths must stay bit-comparable.
+    qv = hn @ jnp.concatenate([lp["wq"], lp["wv"]], axis=1) + jnp.concatenate(
+        [lp["bq"], lp["bv"]])
+    q_full, v_full = qv[..., :C], qv[..., C:]
     attn = _attn_full(q_full, k_full, v_full, cfg.num_heads)
     attn = attn @ lp["wo"] + lp["bo"]
     h = h + attn
@@ -295,7 +302,10 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
             # BIT-IDENTICAL to the index path's scatter-then-add: every
             # one-hot product is x*1 or x*0 and every cross-term adds an
             # exact zero, so the only roundings are the same h_row + vals
-            # and h + ref adds the index path performs
+            # and h + ref adds the index path performs.  (An algebraically
+            # equal h + (1-mask)*ref + G^T@vals form saves the rows(h)
+            # gather but LOSES bit-identity under XLA fusion at full layer
+            # scale — measured on CPU f32, data-dependent; keep this form.)
             upd = jnp.einsum("fut,fuc->ftc", G, rows(h) + vals)
             return (1.0 - upd_mask) * (h + ref) + upd
     else:
@@ -311,16 +321,24 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
             return _scatter_tokens(h, upd_idx, h_rows + vals)
 
     toks = rows(hn)                                          # (F, U, C)
-    q_sel = toks @ lp["wq"] + lp["bq"]
 
     if sim_source == "value":
         # the V-sim variant attends against the fully fresh V
+        q_sel = toks @ lp["wq"] + lp["bq"]
         attn_sel = _attn_full(q_sel, k_full, v_fresh, cfg.num_heads)
     else:
         # attention with the updated-V decomposition: softmax probs once,
         # then  probs @ V_scattered
         #     = probs @ ref_V  +  probs[:, upd] @ (V_fresh - ref_V)[upd]
-        v_sel = toks @ lp["wv"] + lp["bv"]                   # (F, U, C)
+        # q/v (and, on the k-proxy path, k) of the selected rows ride ONE
+        # concatenated matmul: per-element dot products are identical to
+        # the separate matmuls, and the step dispatches one op instead of
+        # two/three (this relay taxes every op 40-90us, PLATFORM_NOTES.md)
+        names = ("wq", "wv", "wk") if k_proxy else ("wq", "wv")
+        proj = toks @ jnp.concatenate(
+            [lp[w] for w in names], axis=1) + jnp.concatenate(
+            [lp["b" + w[1]] for w in names])
+        q_sel, v_sel = proj[..., :C], proj[..., C:2 * C]     # (F, U, C)
         qh = q_sel.reshape(F_, U, H, D).transpose(0, 2, 1, 3)
         if k_proxy:
             # logits against K_scattered without forming fresh K:
@@ -329,7 +347,7 @@ def _layer_cached(lp, h, refs, num_update: int, cfg: SiglipConfig,
             #                           the updated columns
             # (the K twin of the V decomposition below; ref read once at
             # (T, C), fresh K projected at the U selected rows only)
-            k_sel = toks @ lp["wk"] + lp["bk"]               # (F, U, C)
+            k_sel = proj[..., 2 * C:]                        # (F, U, C)
             rkh = ref_k[0].reshape(T, H, D)
             logits = jnp.einsum("fhud,thd->fhut", qh, rkh,
                                 preferred_element_type=jnp.float32)
